@@ -1,0 +1,32 @@
+"""Test config: run JAX on CPU with 8 virtual devices so the sharding /
+multi-chip paths are exercised without TPU hardware (SURVEY.md §4 item 4).
+
+Must set env vars before the first jax import anywhere in the test session.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+def _asset(name: str) -> str:
+    for base in ("/root/reference/public", "/root/reference/public/DIP test"):
+        p = os.path.join(base, name)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(name)
+
+
+@pytest.fixture(scope="session")
+def asset_path():
+    return _asset

@@ -1,0 +1,46 @@
+"""Dtype policy and OpenCV-compatible rounding/saturation helpers.
+
+The whole framework stores images as uint8 (HW grayscale, HWC color,
+NHWC batched) and computes in float32 / int32 inside jit. Every cast back
+to uint8 goes through :func:`saturate_u8`, which reproduces OpenCV's
+``saturate_cast<uchar>``: round-half-to-even (cvRound) then clamp.
+
+Replaces the implicit semantics of every ``cv2.*`` call in the reference
+(e.g. DocScanner.py:156 ``cv2.normalize``, FaceEnhancement.py:144
+``.astype(np.uint8)`` after float blends).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def f32(x) -> jnp.ndarray:
+    return jnp.asarray(x).astype(jnp.float32)
+
+
+def i32(x) -> jnp.ndarray:
+    return jnp.asarray(x).astype(jnp.int32)
+
+
+def round_half_even(x: jnp.ndarray) -> jnp.ndarray:
+    """cvRound: round half to even (banker's rounding), like jnp.rint."""
+    return jnp.rint(x)
+
+
+def saturate_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV saturate_cast<uchar>: cvRound for floats, clamp to [0,255]."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        x = jnp.rint(x)
+    return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+
+def descale(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """OpenCV CV_DESCALE(x, n) = (x + (1 << (n-1))) >> n on int32.
+
+    This is the rounding primitive of every fixed-point cvtColor path
+    (opencv color.hpp). Works on negative values exactly like the C
+    arithmetic right shift.
+    """
+    x = i32(x)
+    return (x + (1 << (n - 1))) >> n

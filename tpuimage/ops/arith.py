@@ -1,0 +1,102 @@
+"""Saturating uint8 arithmetic and range ops matching OpenCV semantics.
+
+Replaces: cv2.subtract / cv2.divide(scale=255) / cv2.max / cv2.bitwise_or
+(DocScanner.py:158,155,207,88), cv2.addWeighted (Landscape.py:145,
+FaceEnhancement.py:162), cv2.normalize NORM_MINMAX (DocScanner.py:156,172,
+FaceEnhancement.py:275), cv2.inRange (FaceEnhancement.py:112).
+
+OpenCV saturates uint8 arithmetic (numpy wraps), so every op here routes
+through int32/float32 intermediates and :func:`saturate_u8`.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tpuimage.core.dtypes import saturate_u8, i32, f32
+
+
+def add_u8(a: jnp.ndarray, b) -> jnp.ndarray:
+    return saturate_u8(i32(a) + i32(b))
+
+
+def subtract_u8(a: jnp.ndarray, b) -> jnp.ndarray:
+    return saturate_u8(i32(a) - i32(b))
+
+
+def divide_u8(a: jnp.ndarray, b: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
+    """cv2.divide: dst = saturate(round(a*scale/b)); b == 0 -> 0."""
+    bf = f32(b)
+    out = jnp.where(bf != 0, f32(a) * scale / jnp.where(bf != 0, bf, 1.0), 0.0)
+    return saturate_u8(out)
+
+
+def multiply_u8(a: jnp.ndarray, b: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
+    return saturate_u8(f32(a) * f32(b) * scale)
+
+
+def max_u8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(a, b)
+
+
+def min_u8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.minimum(a, b)
+
+
+def bitwise_or(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return a | b
+
+
+def bitwise_and(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return a & b
+
+
+def bitwise_not(a: jnp.ndarray) -> jnp.ndarray:
+    return ~a
+
+
+def absdiff_u8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return saturate_u8(jnp.abs(i32(a) - i32(b)))
+
+
+def add_weighted(a: jnp.ndarray, alpha: float, b: jnp.ndarray, beta: float,
+                 gamma: float = 0.0) -> jnp.ndarray:
+    """cv2.addWeighted: saturate(a*alpha + b*beta + gamma)."""
+    return saturate_u8(f32(a) * alpha + f32(b) * beta + gamma)
+
+
+def normalize_minmax(img: jnp.ndarray, alpha: float = 0.0, beta: float = 255.0) -> jnp.ndarray:
+    """cv2.normalize(..., alpha, beta, NORM_MINMAX) on uint8.
+
+    scale = (beta-alpha)/(max-min); dst = saturate(round((x-min)*scale+alpha)).
+    Constant images map to alpha (scale becomes 0), matching OpenCV.
+    """
+    x = f32(img)
+    smin = jnp.min(x)
+    smax = jnp.max(x)
+    rng = smax - smin
+    scale = jnp.where(rng > 0, (beta - alpha) / jnp.where(rng > 0, rng, 1.0), 0.0)
+    return saturate_u8(x * scale + (alpha - smin * scale))
+
+
+def in_range(img: jnp.ndarray, lower, upper) -> jnp.ndarray:
+    """cv2.inRange: 255 where lower <= img <= upper across all channels."""
+    lo = jnp.asarray(lower, dtype=img.dtype)
+    hi = jnp.asarray(upper, dtype=img.dtype)
+    ok = (img >= lo) & (img <= hi)
+    if img.ndim == 3:
+        ok = jnp.all(ok, axis=-1)
+    return jnp.where(ok, jnp.uint8(255), jnp.uint8(0))
+
+
+def blend_mask(a: jnp.ndarray, b: jnp.ndarray, mask01: jnp.ndarray) -> jnp.ndarray:
+    """(a * mask) + (b * (1 - mask)) with truncation-to-uint8.
+
+    The reference blends with ``.astype(np.uint8)`` (truncation, not
+    rounding) at FaceEnhancement.py:143,371 and AI_classification.py:739 —
+    reproduced here for parity.
+    """
+    m = f32(mask01)
+    if a.ndim == 3 and m.ndim == 2:
+        m = m[..., None]
+    out = f32(a) * m + f32(b) * (1.0 - m)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)

@@ -1,0 +1,260 @@
+"""Colorspace conversions bit-matching OpenCV's 8-bit fixed-point paths.
+
+Replaces the ``cv2.cvtColor`` calls throughout the reference:
+DocScanner.py:41 (BGR2GRAY), FaceEnhancement.py:106 (BGR2YCrCb),
+:155/:166 (BGR2LAB/LAB2BGR), :241/:249 (BGR2HSV/HSV2BGR), asm.py:88
+(BGR2LAB), Landscape.py:88 (BGR2HSV), morph_seq pyc (BGR2RGB, RGB2GRAY).
+
+All functions take/return uint8 arrays, HWC (or HW for gray), and are pure
+and jittable. The framework's native channel order is RGB; BGR variants are
+provided because the reference's OpenCV pipelines are BGR-centric and the
+parity tests compare against cv2 on both orders.
+
+Fixed-point constants mirror opencv imgproc (color_yuv / color_hsv /
+color_lab simd paths): yuv_shift=14 descale arithmetic for GRAY/YCrCb,
+hsv_shift=12 integer tables for HSV, and the gamma+cbrt ushort tables with
+lab_shift=12 / gamma_shift=3 for Lab.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuimage.core.dtypes import saturate_u8, descale, i32, f32
+
+# ---------------------------------------------------------------------------
+# GRAY — modern OpenCV bit-exact path: Y = descale(R*9798 + G*19235 + B*3735, 15)
+# (verified exact against cv2 5.0; the YCrCb path below still uses the
+# historical Q14 coefficients internally)
+# ---------------------------------------------------------------------------
+_R2Y, _G2Y, _B2Y = 4899, 9617, 1868
+_YUV_SHIFT = 14
+_R2Y15, _G2Y15, _B2Y15 = 9798, 19235, 3735
+
+
+def rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = i32(img[..., 0]), i32(img[..., 1]), i32(img[..., 2])
+    return descale(r * _R2Y15 + g * _G2Y15 + b * _B2Y15, 15).astype(jnp.uint8)
+
+
+def bgr_to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    return rgb_to_gray(img[..., ::-1])
+
+
+def gray_to_rgb(gray: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([gray, gray, gray], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# YCrCb  (FaceEnhancement.py:106 skin mask; output order Y, Cr, Cb)
+# ---------------------------------------------------------------------------
+_YCRCB_C3 = 11682  # cvRound(0.713 * 2**14)
+_YCRCB_C4 = 9241   # cvRound(0.564 * 2**14)
+
+
+def rgb_to_ycrcb(img: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = i32(img[..., 0]), i32(img[..., 1]), i32(img[..., 2])
+    y = descale(r * _R2Y + g * _G2Y + b * _B2Y, _YUV_SHIFT)
+    delta = 128 << _YUV_SHIFT
+    cr = descale((r - y) * _YCRCB_C3 + delta, _YUV_SHIFT)
+    cb = descale((b - y) * _YCRCB_C4 + delta, _YUV_SHIFT)
+    return saturate_u8(jnp.stack([y, cr, cb], axis=-1))
+
+
+def bgr_to_ycrcb(img: jnp.ndarray) -> jnp.ndarray:
+    return rgb_to_ycrcb(img[..., ::-1])
+
+
+_YCRCB_INV = (22987, -11698, -5636, 29049)  # 1.403, -0.714, -0.344, 1.773 Q14
+
+
+def ycrcb_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
+    y, cr, cb = i32(img[..., 0]), i32(img[..., 1]), i32(img[..., 2])
+    c0, c1, c2, c3 = _YCRCB_INV
+    r = y + descale((cr - 128) * c0, _YUV_SHIFT)
+    g = y + descale((cr - 128) * c1 + (cb - 128) * c2, _YUV_SHIFT)
+    b = y + descale((cb - 128) * c3, _YUV_SHIFT)
+    return saturate_u8(jnp.stack([r, g, b], axis=-1))
+
+
+def ycrcb_to_bgr(img: jnp.ndarray) -> jnp.ndarray:
+    return ycrcb_to_rgb(img)[..., ::-1]
+
+
+# ---------------------------------------------------------------------------
+# HSV (8-bit, H in [0,180)) — integer table algorithm of color_hsv.simd
+# (FaceEnhancement.py:241 saturation adjust, Landscape.py:88 degrade)
+# ---------------------------------------------------------------------------
+_HSV_SHIFT = 12
+
+
+def _hsv_tables():
+    i = np.arange(256, dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        sdiv = np.where(i > 0, np.rint((255 << _HSV_SHIFT) / i), 0.0)
+        hdiv = np.where(i > 0, np.rint((180 << _HSV_SHIFT) / (6.0 * i)), 0.0)
+    return (jnp.asarray(sdiv.astype(np.int64), dtype=jnp.int32),
+            jnp.asarray(hdiv.astype(np.int64), dtype=jnp.int32))
+
+
+_SDIV_TAB, _HDIV_TAB = _hsv_tables()
+
+
+def rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = i32(img[..., 0]), i32(img[..., 1]), i32(img[..., 2])
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    vmin = jnp.minimum(jnp.minimum(r, g), b)
+    diff = v - vmin
+    s = (diff * _SDIV_TAB[v] + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    h_raw = jnp.where(
+        v == r, g - b,
+        jnp.where(v == g, (b - r) + 2 * diff, (r - g) + 4 * diff))
+    h = (h_raw * _HDIV_TAB[diff] + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    h = jnp.where(h < 0, h + 180, h)
+    return jnp.stack([h, s, v], axis=-1).astype(jnp.uint8)
+
+
+def bgr_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
+    return rgb_to_hsv(img[..., ::-1])
+
+
+def hsv_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
+    """Float sector algorithm of OpenCV HSV2RGB_f with 8-bit rescale."""
+    h = f32(img[..., 0]) * (6.0 / 180.0)
+    s = f32(img[..., 1]) * (1.0 / 255.0)
+    v = f32(img[..., 2]) * (1.0 / 255.0)
+    h = jnp.where(h < 0, h + 6.0, h)
+    sector = jnp.floor(h)
+    hfrac = h - sector
+    sector = sector.astype(jnp.int32) % 6
+    tab0 = v
+    tab1 = v * (1.0 - s)
+    tab2 = v * (1.0 - s * hfrac)
+    tab3 = v * (1.0 - s * (1.0 - hfrac))
+    # OpenCV sector_data[][3] (b,g,r order); we emit r,g,b
+    #   sector: 0        1        2        3        4        5
+    # b index: 1        1        3        0        0        2
+    # g index: 3        0        0        2        1        1
+    # r index: 0        2        1        1        3        0
+    tabs = jnp.stack([tab0, tab1, tab2, tab3], axis=0)
+
+    def pick(idx_per_sector):
+        idx = jnp.asarray(idx_per_sector, dtype=jnp.int32)[sector]
+        return jnp.take_along_axis(tabs, idx[None], axis=0)[0]
+
+    b = pick([1, 1, 3, 0, 0, 2])
+    g = pick([3, 0, 0, 2, 1, 1])
+    r = pick([0, 2, 1, 1, 3, 0])
+    return saturate_u8(jnp.stack([r, g, b], axis=-1) * 255.0)
+
+
+def hsv_to_bgr(img: jnp.ndarray) -> jnp.ndarray:
+    return hsv_to_rgb(img)[..., ::-1]
+
+
+# ---------------------------------------------------------------------------
+# Lab (8-bit): gamma + cbrt ushort tables, integer descale (color_lab.cpp)
+# ---------------------------------------------------------------------------
+_LAB_SHIFT = 12
+_GAMMA_SHIFT = 3
+_LAB_SHIFT2 = _LAB_SHIFT + _GAMMA_SHIFT
+_D65 = (0.950456, 1.0, 1.088754)
+_SRGB2XYZ_D65 = np.array([
+    [0.412453, 0.357580, 0.180423],
+    [0.212671, 0.715160, 0.072169],
+    [0.019334, 0.119193, 0.950227],
+])
+_XYZ2SRGB_D65 = np.linalg.inv(_SRGB2XYZ_D65)
+
+
+def _lab_tables():
+    # sRGB gamma table: 0..255 -> linear scaled to 0..255*8
+    x = np.arange(256, dtype=np.float64) / 255.0
+    lin = np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+    gamma_tab = np.rint(lin * 255.0 * (1 << _GAMMA_SHIFT)).astype(np.int64)
+
+    # cube-root table over the descaled XYZ range
+    n = 256 * 3 // 2 * (1 << _GAMMA_SHIFT)  # 3072
+    t = np.arange(n, dtype=np.float64) / (255.0 * (1 << _GAMMA_SHIFT))
+    fy = np.where(t < 0.008856, t * 7.787 + 16.0 / 116.0, np.cbrt(t))
+    cbrt_tab = np.rint(fy * (1 << _LAB_SHIFT2)).astype(np.int64)
+
+    # fixed-point sRGB->XYZ coefficients, X/Z rows scaled by whitepoint
+    scale = np.array([(1 << _LAB_SHIFT) / _D65[0],
+                      (1 << _LAB_SHIFT),
+                      (1 << _LAB_SHIFT) / _D65[2]])
+    coeffs = np.rint(_SRGB2XYZ_D65 * scale[:, None]).astype(np.int64)
+    return (jnp.asarray(gamma_tab, dtype=jnp.int32),
+            jnp.asarray(cbrt_tab, dtype=jnp.int32),
+            coeffs)
+
+
+_GAMMA_TAB, _CBRT_TAB, _LAB_COEFFS = _lab_tables()
+_CBRT_N = int(_CBRT_TAB.shape[0])
+
+
+def rgb_to_lab(img: jnp.ndarray) -> jnp.ndarray:
+    r = _GAMMA_TAB[i32(img[..., 0])]
+    g = _GAMMA_TAB[i32(img[..., 1])]
+    b = _GAMMA_TAB[i32(img[..., 2])]
+    C = _LAB_COEFFS
+
+    def fchan(row):
+        idx = descale(r * int(C[row, 0]) + g * int(C[row, 1]) + b * int(C[row, 2]),
+                      _LAB_SHIFT)
+        return _CBRT_TAB[jnp.clip(idx, 0, _CBRT_N - 1)]
+
+    fX, fY, fZ = fchan(0), fchan(1), fchan(2)
+    Lscale = (116 * 255 + 50) // 100               # 296
+    Lshift = -((16 * 255 * (1 << _LAB_SHIFT2) + 50) // 100)
+    L = descale(Lscale * fY + Lshift, _LAB_SHIFT2)
+    a = descale(500 * (fX - fY) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    bb = descale(200 * (fY - fZ) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    return saturate_u8(jnp.stack([L, a, bb], axis=-1))
+
+
+def bgr_to_lab(img: jnp.ndarray) -> jnp.ndarray:
+    return rgb_to_lab(img[..., ::-1])
+
+
+_XYZ2SRGB_J = jnp.asarray(_XYZ2SRGB_D65, dtype=jnp.float32)
+
+
+def lab_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
+    """Float inverse path (Lab2RGBfloat) with 8-bit rescale and sRGB gamma."""
+    L = f32(img[..., 0]) * (100.0 / 255.0)
+    a = f32(img[..., 1]) - 128.0
+    b = f32(img[..., 2]) - 128.0
+
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+
+    def finv(t):
+        return jnp.where(t ** 3 > 0.008856, t ** 3, (t - 16.0 / 116.0) / 7.787)
+
+    y = jnp.where(L > 8.0, fy ** 3, L / 903.3)
+    x = finv(fx) * _D65[0]
+    z = finv(fz) * _D65[2]
+    xyz = jnp.stack([x, y, z], axis=-1)
+    rgb_lin = jnp.clip(xyz @ _XYZ2SRGB_J.T, 0.0, 1.0)
+    srgb = jnp.where(rgb_lin <= 0.0031308,
+                     rgb_lin * 12.92,
+                     1.055 * rgb_lin ** (1.0 / 2.4) - 0.055)
+    return saturate_u8(srgb * 255.0)
+
+
+def lab_to_bgr(img: jnp.ndarray) -> jnp.ndarray:
+    return lab_to_rgb(img)[..., ::-1]
+
+
+# ---------------------------------------------------------------------------
+# split / merge  (FaceEnhancement.py:156,165; asm.py:89,99)
+# ---------------------------------------------------------------------------
+
+def split(img: jnp.ndarray):
+    return tuple(img[..., c] for c in range(img.shape[-1]))
+
+
+def merge(channels) -> jnp.ndarray:
+    return jnp.stack(list(channels), axis=-1)

@@ -1,0 +1,145 @@
+"""Histogram family: 256-bin hist, Otsu, equalizeHist, CLAHE.
+
+Replaces cv2.threshold(+THRESH_OTSU) at DocScanner.py:187,202 /
+classification.py:67 / morph_seq pyc; cv2.equalizeHist (preset
+"equalization", enhancement_presets.json:6); cv2.createCLAHE at
+NightLandscapeEnhancement.py:50, asm.py:92, Landscape.py:127,
+FaceEnhancement.py:198,291, AI_classification.py:633,689.
+
+CLAHE reproduces OpenCV exactly: pad to a tile multiple with
+BORDER_REFLECT_101, per-tile 256-bin histogram, integer clip with
+uniform + stepped-residual redistribution, cumulative LUT scaled by
+255/tileArea (cvRound), then bilinear interpolation between the four
+neighbouring tile LUTs with cvRound at the end.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuimage.core.dtypes import saturate_u8, f32, i32
+from tpuimage.core.borders import pad2d, BORDER_REFLECT_101
+
+
+def hist256(gray: jnp.ndarray) -> jnp.ndarray:
+    """256-bin histogram of a uint8 array (int32 counts)."""
+    return jnp.zeros(256, jnp.int32).at[gray.reshape(-1)].add(1)
+
+
+def otsu_threshold(gray: jnp.ndarray):
+    """Otsu threshold (returns float threshold, same math as cv2).
+
+    Vectorized re-statement of OpenCV's getThreshold_Otsu8u loop using
+    prefix sums; the epsilon guards replicate the reference comparisons.
+    """
+    h = f32(hist256(gray))
+    n = jnp.sum(h)
+    scale = 1.0 / n
+    idx = jnp.arange(256, dtype=jnp.float32)
+    mu = jnp.sum(idx * h) * scale
+
+    p = h * scale
+    q1 = jnp.cumsum(p)                     # inclusive: q1 after bin i
+    s1 = jnp.cumsum(idx * p)               # sum of i*p up to i
+    q2 = 1.0 - q1
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    valid = (jnp.minimum(q1, q2) >= eps) & (jnp.maximum(q1, q2) <= 1.0 - eps)
+    mu1 = jnp.where(q1 > 0, s1 / jnp.where(q1 > 0, q1, 1.0), 0.0)
+    mu2 = jnp.where(q2 > 0, (mu - q1 * mu1) / jnp.where(q2 > 0, q2, 1.0), 0.0)
+    sigma = jnp.where(valid, q1 * q2 * (mu1 - mu2) ** 2, -1.0)
+    return jnp.argmax(sigma).astype(jnp.float32)
+
+
+def equalize_hist(gray: jnp.ndarray) -> jnp.ndarray:
+    """cv2.equalizeHist: CDF LUT anchored at the first occupied bin."""
+    h = hist256(gray)
+    total = gray.size
+    nonzero = h > 0
+    first = jnp.argmax(nonzero)            # first occupied bin
+    hfirst = h[first]
+    denom = total - hfirst
+    scale = jnp.where(denom > 0, 255.0 / jnp.maximum(denom, 1), 0.0)
+    csum = jnp.cumsum(h)
+    # lut[i] = round((cumsum(i) - cumsum(first)) * scale); lut[first] = 0
+    lut_f = (f32(csum) - f32(csum[first])) * scale
+    lut = saturate_u8(lut_f)
+    lut = jnp.where(jnp.arange(256) < first, jnp.uint8(0), lut)
+    # degenerate constant image -> stays constant (OpenCV returns value i)
+    out = lut[i32(gray)]
+    return jnp.where(denom > 0, out, gray)
+
+
+# ---------------------------------------------------------------------------
+# CLAHE
+# ---------------------------------------------------------------------------
+
+def _clahe_tile_luts(tiles: jnp.ndarray, clip_limit: float, tile_area: int) -> jnp.ndarray:
+    """tiles: (T, th*tw) uint8 -> per-tile LUT (T, 256) uint8."""
+    nbins = 256
+    one_hot_counts = jax.vmap(lambda t: jnp.zeros(nbins, jnp.int32).at[i32(t)].add(1))(tiles)
+
+    if clip_limit > 0:
+        clip = max(int(clip_limit * tile_area / nbins), 1)
+        clipped = jnp.minimum(one_hot_counts, clip)
+        excess = jnp.sum(one_hot_counts - clipped, axis=1)  # (T,)
+        batch = excess // nbins
+        residual = excess % nbins
+        hist = clipped + batch[:, None]
+        # stepped residual: bins k*step for k < residual, step = max(256//residual, 1)
+        step = jnp.maximum(jnp.where(residual > 0, nbins // jnp.maximum(residual, 1), nbins), 1)
+        idx = jnp.arange(nbins)[None, :]
+        bump = (idx % step[:, None] == 0) & ((idx // step[:, None]) < residual[:, None])
+        hist = hist + bump.astype(jnp.int32)
+    else:
+        hist = one_hot_counts
+
+    lut_scale = 255.0 / tile_area
+    csum = jnp.cumsum(hist, axis=1)
+    return saturate_u8(f32(csum) * lut_scale)
+
+
+@functools.partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y"))
+def clahe(gray: jnp.ndarray, clip_limit: float = 40.0,
+          tiles_x: int = 8, tiles_y: int = 8) -> jnp.ndarray:
+    """cv2.createCLAHE(clipLimit, (tiles_x, tiles_y)).apply(gray), bit-exact."""
+    h, w = gray.shape
+    if h % tiles_y == 0 and w % tiles_x == 0:
+        ph = pw = 0
+        th, tw = h // tiles_y, w // tiles_x
+    else:
+        # OpenCV quirk: when either dim is non-divisible it pads BOTH with
+        # ``tiles - (dim % tiles)`` — a full extra tile on a divisible dim.
+        ph = tiles_y - (h % tiles_y)
+        pw = tiles_x - (w % tiles_x)
+        th, tw = (h + ph) // tiles_y, (w + pw) // tiles_x
+    src_lut = pad2d(gray, 0, ph, 0, pw, mode=BORDER_REFLECT_101) if (ph or pw) else gray
+
+    tiles = (src_lut.reshape(tiles_y, th, tiles_x, tw)
+             .transpose(0, 2, 1, 3)
+             .reshape(tiles_y * tiles_x, th * tw))
+    luts = _clahe_tile_luts(tiles, clip_limit, th * tw).reshape(tiles_y, tiles_x, 256)
+
+    # bilinear interpolation between the 4 neighbouring tile LUTs
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    tyf = ys * (1.0 / th) - 0.5
+    txf = xs * (1.0 / tw) - 0.5
+    ty1 = jnp.floor(tyf).astype(jnp.int32)
+    tx1 = jnp.floor(txf).astype(jnp.int32)
+    ya = (tyf - ty1)[:, None]
+    xa = (txf - tx1)[None, :]
+    ty1c = jnp.clip(ty1, 0, tiles_y - 1)[:, None]
+    ty2c = jnp.clip(ty1 + 1, 0, tiles_y - 1)[:, None]
+    tx1c = jnp.clip(tx1, 0, tiles_x - 1)[None, :]
+    tx2c = jnp.clip(tx1 + 1, 0, tiles_x - 1)[None, :]
+
+    v = i32(gray)
+    l11 = f32(luts[ty1c, tx1c, v])
+    l12 = f32(luts[ty1c, tx2c, v])
+    l21 = f32(luts[ty2c, tx1c, v])
+    l22 = f32(luts[ty2c, tx2c, v])
+    res = (l11 * (1 - xa) + l12 * xa) * (1 - ya) + (l21 * (1 - xa) + l22 * xa) * ya
+    return saturate_u8(res)
