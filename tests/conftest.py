@@ -5,10 +5,19 @@ Must set env vars before the first jax import anywhere in the test session.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The image's sitecustomize imports jax and registers the axon TPU backend at
+# interpreter startup — before this conftest runs — so env vars alone are too
+# late. XLA_FLAGS is still read lazily when the CPU backend initializes, and
+# jax.config.update("jax_platforms") works as long as no backend has been
+# used yet, so the combination below reliably pins the test session to a
+# virtual 8-device CPU mesh (SURVEY.md §4 item 4).
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,103 @@
+"""Differential tests: geometry ops vs cv2."""
+import numpy as np
+import cv2
+import pytest
+
+from tpuimage.ops import geometry as geo
+
+
+def maxdiff(a, b):
+    return int(np.max(np.abs(np.asarray(a).astype(np.int32) - np.asarray(b).astype(np.int32))))
+
+
+@pytest.fixture()
+def img(rng):
+    return rng.integers(0, 256, size=(97, 123, 3), dtype=np.uint8)
+
+
+@pytest.fixture()
+def gray(rng):
+    return rng.integers(0, 256, size=(97, 123), dtype=np.uint8)
+
+
+class TestResize:
+    @pytest.mark.parametrize("shape", [(50, 70), (200, 150), (97, 123)])
+    def test_linear(self, img, shape):
+        ref = cv2.resize(img, (shape[1], shape[0]), interpolation=cv2.INTER_LINEAR)
+        mine = geo.resize(img, shape[0], shape[1], "linear")
+        assert maxdiff(ref, mine) <= 1
+
+    @pytest.mark.parametrize("shape", [(50, 70), (33, 41)])
+    def test_area_fractional(self, img, shape):
+        ref = cv2.resize(img, (shape[1], shape[0]), interpolation=cv2.INTER_AREA)
+        mine = geo.resize(img, shape[0], shape[1], "area")
+        assert maxdiff(ref, mine) <= 1
+
+    def test_area_integer_exact(self, rng):
+        img = rng.integers(0, 256, size=(96, 120, 3), dtype=np.uint8)
+        ref = cv2.resize(img, (40, 32), interpolation=cv2.INTER_AREA)
+        mine = geo.resize(img, 32, 40, "area")
+        assert maxdiff(ref, mine) == 0
+
+    @pytest.mark.parametrize("shape", [(50, 70), (200, 150)])
+    def test_cubic(self, img, shape):
+        ref = cv2.resize(img, (shape[1], shape[0]), interpolation=cv2.INTER_CUBIC)
+        mine = geo.resize(img, shape[0], shape[1], "cubic")
+        assert maxdiff(ref, mine) <= 1
+
+    def test_nearest(self, img):
+        ref = cv2.resize(img, (61, 48), interpolation=cv2.INTER_NEAREST)
+        mine = geo.resize(img, 48, 61, "nearest")
+        assert maxdiff(ref, mine) == 0
+
+    def test_resize_long_side(self, img):
+        out = np.asarray(geo.resize_long_side(img, 60))
+        assert max(out.shape[:2]) == 60
+        # no-op when already smaller
+        out2 = np.asarray(geo.resize_long_side(img, 4000))
+        assert out2.shape == img.shape
+
+
+class TestPerspective:
+    def test_get_perspective_transform(self):
+        src = np.array([[10, 12], [100, 8], [110, 90], [5, 80]], dtype=np.float32)
+        dst = np.array([[0, 0], [99, 0], [99, 119], [0, 119]], dtype=np.float32)
+        ref = cv2.getPerspectiveTransform(src, dst)
+        mine = geo.get_perspective_transform(src, dst)
+        assert np.allclose(ref, mine, atol=1e-8)
+
+    def test_warp_perspective(self, img):
+        src = np.array([[10, 12], [100, 8], [110, 90], [5, 80]], dtype=np.float32)
+        dst = np.array([[0, 0], [99, 0], [99, 119], [0, 119]], dtype=np.float32)
+        M = cv2.getPerspectiveTransform(src, dst)
+        ref = cv2.warpPerspective(img, M, (100, 120))
+        mine = geo.warp_perspective(img, M, 120, 100)
+        d = np.abs(ref.astype(int) - np.asarray(mine).astype(int))
+        # cv2 evaluates the projective map in f64; ours is f32 on-device —
+        # rare cvRound boundary flips only.
+        assert d.max() <= 1 and np.mean(d > 0) < 0.005
+
+    def test_remap_exact(self, rng, gray):
+        my = rng.uniform(-3, 99, (50, 60)).astype(np.float32)
+        mx = rng.uniform(-3, 125, (50, 60)).astype(np.float32)
+        ref = cv2.remap(gray, mx, my, cv2.INTER_LINEAR)
+        mine = geo._bilinear_gather_u8(gray, mx, my)
+        assert maxdiff(ref, mine) == 0
+        ref = cv2.remap(gray, mx, my, cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
+        mine = geo._bilinear_gather_u8(gray, mx, my, border="replicate")
+        assert maxdiff(ref, mine) == 0
+
+
+class TestAffine:
+    def test_warp_affine_replicate(self, gray):
+        M = cv2.getRotationMatrix2D((61.5, 48.5), 7.3, 1.0)
+        ref = cv2.warpAffine(gray, M, (123, 97), flags=cv2.INTER_LINEAR,
+                             borderMode=cv2.BORDER_REPLICATE)
+        mine = geo.warp_affine(gray, M, 97, 123, border="replicate")
+        d = np.abs(ref.astype(int) - np.asarray(mine).astype(int))
+        assert d.max() <= 1 and np.mean(d > 0) < 0.005
+
+    def test_rotation_matrix(self):
+        ref = cv2.getRotationMatrix2D((50.0, 40.0), -3.7, 1.0)
+        mine = geo.get_rotation_matrix_2d((50.0, 40.0), -3.7, 1.0)
+        assert np.allclose(ref, mine, atol=1e-10)

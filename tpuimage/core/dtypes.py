@@ -35,6 +35,23 @@ def saturate_u8(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(x, 0, 255).astype(jnp.uint8)
 
 
+def lerp2(v11, v12, v21, v22, xa, ya):
+    """Bilinear blend ``(v11*(1-xa)+v12*xa)*(1-ya) + (v21*(1-xa)+v22*xa)*ya``.
+
+    Rounding note: OpenCV's scalar/SSE baseline computes this with per-op
+    f32 rounding; XLA freely FMA-contracts the products (and folds any
+    user-level attempt to force per-op rounding — optimization_barrier and
+    lossy f64<->f32 round-trips are both folded by the CPU backend), which
+    keeps more precision and can land exactly on a cvRound .5 boundary.
+    Result: a rare ±1 LSB vs one particular cv2 build on boundary pixels
+    (~1 in 10^4). OpenCV's own SSE/AVX2/AVX512 dispatches disagree with
+    each other at the same pixels, so ±1 LSB *is* the parity target here.
+    """
+    xa1 = 1.0 - xa
+    ya1 = 1.0 - ya
+    return (v11 * xa1 + v12 * xa) * ya1 + (v21 * xa1 + v22 * xa) * ya
+
+
 def descale(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """OpenCV CV_DESCALE(x, n) = (x + (1 << (n-1))) >> n on int32.
 

@@ -236,8 +236,13 @@ def lab_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
     y = jnp.where(L > 8.0, fy ** 3, L / 903.3)
     x = finv(fx) * _D65[0]
     z = finv(fz) * _D65[2]
-    xyz = jnp.stack([x, y, z], axis=-1)
-    rgb_lin = jnp.clip(xyz @ _XYZ2SRGB_J.T, 0.0, 1.0)
+    # elementwise MACs, not a matmul: the TPU MXU's default bf16 matmul
+    # precision would cancel catastrophically near the gamut boundary
+    M = _XYZ2SRGB_J
+    rgb_lin = jnp.stack([M[0, 0] * x + M[0, 1] * y + M[0, 2] * z,
+                         M[1, 0] * x + M[1, 1] * y + M[1, 2] * z,
+                         M[2, 0] * x + M[2, 1] * y + M[2, 2] * z], axis=-1)
+    rgb_lin = jnp.clip(rgb_lin, 0.0, 1.0)
     srgb = jnp.where(rgb_lin <= 0.0031308,
                      rgb_lin * 12.92,
                      1.055 * rgb_lin ** (1.0 / 2.4) - 0.055)

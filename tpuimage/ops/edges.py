@@ -1,0 +1,183 @@
+"""Edge/derivative ops: Sobel, Scharr, Laplacian, magnitude/phase, Canny.
+
+Replaces cv2.Canny (DocScanner.py:79,218; classification.py:71; ipynb cells
+4,15,17), cv2.Sobel / cv2.Laplacian / cv2.magnitude / cv2.phase (ipynb
+cells 8,17; AI_classification.py check_document_mode analog).
+
+TPU-native design: derivatives are tiny fixed convs (VPU-friendly); Canny's
+non-maximum suppression is evaluated densely with the same integer sector
+tests as OpenCV (TG22 = tan(22.5deg) in Q15), and the hysteresis flood —
+sequential BFS in OpenCV — becomes a bounded fixpoint of masked 3x3
+dilations inside ``lax.while_loop`` (converges in <= H+W iterations, exits
+early when the strong set stops growing).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpuimage.core.borders import pad2d, BORDER_REFLECT_101
+from tpuimage.core.dtypes import saturate_u8, f32, i32
+
+_SOBEL_3 = {
+    # (deriv order dx, dy) -> 3x3 kernel (correlation form, like cv2)
+    (1, 0): np.outer([1, 2, 1], [-1, 0, 1]),
+    (0, 1): np.outer([-1, 0, 1], [1, 2, 1]),
+    (2, 0): np.outer([1, 2, 1], [1, -2, 1]),
+    (0, 2): np.outer([1, -2, 1], [1, 2, 1]),
+    (1, 1): np.outer([-1, 0, 1], [-1, 0, 1]),
+}
+
+_SCHARR = {
+    (1, 0): np.outer([3, 10, 3], [-1, 0, 1]),
+    (0, 1): np.outer([-1, 0, 1], [3, 10, 3]),
+}
+
+
+def _conv3x3_i32(img: jnp.ndarray, k: np.ndarray,
+                 border: str = BORDER_REFLECT_101) -> jnp.ndarray:
+    """Exact integer 3x3 correlation via shifted adds (f32 MACs are exact
+    for |acc| < 2^24; Sobel of uint8 peaks at 4*255*... well within)."""
+    h, w = img.shape[0], img.shape[1]
+    p = f32(pad2d(img, 1, 1, 1, 1, mode=border))
+    acc = jnp.zeros(img.shape, dtype=jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            c = float(k[dy, dx])
+            if c == 0.0:
+                continue
+            view = lax.slice_in_dim(lax.slice_in_dim(p, dy, dy + h, axis=0),
+                                    dx, dx + w, axis=1)
+            acc = acc + view * c
+    return acc
+
+
+def sobel(img: jnp.ndarray, dx: int, dy: int, ksize: int = 3,
+          scharr: bool = False) -> jnp.ndarray:
+    """cv2.Sobel(..., CV_32F/CV_16S value-identical), ksize 3 (ipynb cell 17)."""
+    if scharr or ksize == -1:
+        k = _SCHARR[(dx, dy)]
+    else:
+        assert ksize == 3, "only ksize=3 supported (all reference call sites)"
+        k = _SOBEL_3[(dx, dy)]
+    return _conv3x3_i32(img, k)
+
+
+def laplacian(img: jnp.ndarray, ksize: int = 1) -> jnp.ndarray:
+    """cv2.Laplacian ksize=1 (the [[0,1,0],[1,-4,1],[0,1,0]] stencil)
+    or ksize=3 ([[2,0,2],[0,-8,0],[2,0,2]])."""
+    if ksize <= 1:
+        k = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]])
+    else:
+        k = np.array([[2, 0, 2], [0, -8, 0], [2, 0, 2]])
+    return _conv3x3_i32(img, k)
+
+
+def magnitude(gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
+    """cv2.magnitude (L2)."""
+    return jnp.sqrt(f32(gx) ** 2 + f32(gy) ** 2)
+
+
+def phase(gx: jnp.ndarray, gy: jnp.ndarray, degrees: bool = True) -> jnp.ndarray:
+    """cv2.phase: atan2 in [0, 360) degrees (ipynb cell 17)."""
+    ang = jnp.arctan2(f32(gy), f32(gx))
+    if degrees:
+        ang = jnp.rad2deg(ang)
+        return jnp.where(ang < 0, ang + 360.0, ang)
+    return jnp.where(ang < 0, ang + 2.0 * np.pi, ang)
+
+
+def laplacian_variance(gray: jnp.ndarray) -> jnp.ndarray:
+    """Blur metric Var(Laplacian) (ipynb cell 17 feature extraction)."""
+    lap = laplacian(gray)
+    return jnp.var(lap)
+
+
+# ---------------------------------------------------------------------------
+# Canny
+# ---------------------------------------------------------------------------
+
+_TG22 = 13573  # cv2: tan(22.5 deg) * 2^15, rounded
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """x shifted so out[y, x] = x[y+dy, x+dx], out-of-range -> fill."""
+    h, w = x.shape
+    p = jnp.pad(x, ((1, 1), (1, 1)), mode="constant", constant_values=fill)
+    return lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
+
+
+def canny(gray: jnp.ndarray, low: float, high: float,
+          l2_gradient: bool = False, max_hysteresis_iters: int | None = None) -> jnp.ndarray:
+    """cv2.Canny on uint8 gray, aperture 3 (all reference call sites).
+
+    Exact algorithm: Sobel3 (replicate border) -> L1 (default) or L2
+    magnitude -> OpenCV's integer sector NMS -> double threshold ->
+    hysteresis by dilate-fixpoint. Returns uint8 0/255 edge map.
+    """
+    if low > high:
+        low, high = high, low
+    dx = sobel(gray, 1, 0)
+    dy = sobel(gray, 0, 1)
+    if l2_gradient:
+        mag = dx * dx + dy * dy
+        low_t, high_t = float(low) ** 2, float(high) ** 2
+    else:
+        mag = jnp.abs(dx) + jnp.abs(dy)
+        # cv2 truncates float thresholds toward zero for L1
+        low_t, high_t = float(int(low)), float(int(high))
+
+    # --- sector NMS (canny.cpp): integer tangent tests in Q15 ---
+    xs = jnp.abs(dx)
+    ys = jnp.abs(dy) * 32768.0
+    tg22x = xs * float(_TG22)
+    tg67x = tg22x + xs * 65536.0
+
+    m = mag
+    left = _shift2d(m, 0, -1, 0.0)
+    right = _shift2d(m, 0, 1, 0.0)
+    up = _shift2d(m, -1, 0, 0.0)
+    down = _shift2d(m, 1, 0, 0.0)
+    # diagonal neighbours picked by the sign product s = sign(dx*dy)
+    same_sign = (dx * dy) >= 0
+    diag1 = jnp.where(same_sign, _shift2d(m, -1, -1, 0.0), _shift2d(m, -1, 1, 0.0))
+    diag2 = jnp.where(same_sign, _shift2d(m, 1, 1, 0.0), _shift2d(m, 1, -1, 0.0))
+
+    horiz = ys < tg22x
+    vert = ys > tg67x
+    keep = jnp.where(
+        horiz, (m > left) & (m >= right),
+        jnp.where(vert, (m > up) & (m >= down), (m > diag1) & (m >= diag2)))
+
+    cand = keep & (m > low_t)
+    strong = cand & (m > high_t)
+    weak = cand & ~strong
+
+    # --- hysteresis: grow strong through 8-connected weak, to fixpoint ---
+    def dilate8(b):
+        p = jnp.pad(b, 1, mode="constant", constant_values=False)
+        acc = b
+        for oy in (-1, 0, 1):
+            for ox in (-1, 0, 1):
+                if oy == 0 and ox == 0:
+                    continue
+                acc = acc | lax.dynamic_slice(p, (1 + oy, 1 + ox), b.shape)
+        return acc
+
+    h, w = gray.shape
+    max_iters = max_hysteresis_iters or (h + w)
+
+    def cond(state):
+        i, s, changed = state
+        return changed & (i < max_iters)
+
+    def body(state):
+        i, s, _ = state
+        grown = weak & dilate8(s)
+        new = s | grown
+        return i + 1, new, jnp.any(new != s)
+
+    _, strong, _ = lax.while_loop(cond, body, (jnp.int32(0), strong, jnp.bool_(True)))
+    return jnp.where(strong, jnp.uint8(255), jnp.uint8(0))

@@ -1,0 +1,305 @@
+"""Geometric transforms: resize, affine/perspective warps, rotation.
+
+Replaces cv2.resize (DocScanner.py:36 INTER_AREA, ipynb cell 14
+INTER_LINEAR/CUBIC), cv2.getPerspectiveTransform + cv2.warpPerspective
+(DocScanner.py:142-143, ipynb cell 4), cv2.getRotationMatrix2D +
+cv2.warpAffine BORDER_REPLICATE (DocScanner.py:234-235, ipynb cell 14).
+
+TPU-native design: every warp is an inverse-map bilinear/bicubic gather —
+pure jnp, fully vmappable over a batch, no scatter. Output shapes are
+static (a jit requirement); data-dependent target sizes (the detected-quad
+warp) are handled by fixing the page geometry per preset (SURVEY.md §7
+hard part 4) and computing the 3x3 homography on host or with
+jnp.linalg.solve (8x8 — negligible).
+
+cv2 parity notes: OpenCV's 8u resize/warp paths run fixed-point
+(INTER_RESIZE_COEF_BITS=11, INTER_BITS=5 for warps). We compute the same
+coefficient quantization in f32 so results are bit-exact for INTER_LINEAR
+resize and warpAffine/warpPerspective INTER_LINEAR, and exact for
+INTER_AREA with integer scale; INTER_CUBIC matches within +-1 LSB.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuimage.core.dtypes import saturate_u8, f32, i32
+
+# ---------------------------------------------------------------------------
+# resize
+# ---------------------------------------------------------------------------
+
+_RESIZE_BITS = 11          # INTER_RESIZE_COEF_BITS
+_RESIZE_SCALE = 1 << _RESIZE_BITS
+
+
+def _linear_coeffs_1d(dst: int, src: int):
+    """OpenCV resize INTER_LINEAR source indices + Q11 fixed-point weights."""
+    scale = src / dst
+    x = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
+    sx = np.floor(x).astype(np.int64)
+    fx = x - sx
+    # border handling like OpenCV: below 0 -> (0, fx=0); at/after the last
+    # pixel -> (src-1, fx=0) so full weight lands on the LAST pixel (the
+    # second tap reads a clamped index with zero weight).
+    fx = np.where(sx < 0, 0.0, fx)
+    sx = np.maximum(sx, 0)
+    fx = np.where(sx >= src - 1, 0.0, fx)
+    sx = np.minimum(sx, src - 1)
+    w1 = np.rint((1.0 - fx) * _RESIZE_SCALE)
+    w2 = np.rint(fx * _RESIZE_SCALE)
+    return sx, w1.astype(np.float32), w2.astype(np.float32)
+
+
+def _cubic_kernel(x: np.ndarray, A: float = -0.75) -> np.ndarray:
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1.0, ((A + 2.0) * ax - (A + 3.0)) * ax * ax + 1.0,
+        np.where(ax < 2.0, ((A * ax - 5.0 * A) * ax + 8.0 * A) * ax - 4.0 * A, 0.0))
+
+
+def _cubic_coeffs_1d(dst: int, src: int):
+    scale = src / dst
+    x = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
+    sx = np.floor(x).astype(np.int64)
+    fx = x - sx
+    offs = np.arange(-1, 3)
+    w = _cubic_kernel(fx[:, None] - offs[None, :])       # (dst, 4)
+    w = np.rint(w * _RESIZE_SCALE)
+    idx = np.clip(sx[:, None] + offs[None, :], 0, src - 1)
+    return idx.astype(np.int64), w.astype(np.float32)
+
+
+def _resize_linear_u8(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    h, w = img.shape[0], img.shape[1]
+    sy, wy1, wy2 = _linear_coeffs_1d(out_h, h)
+    sx, wx1, wx2 = _linear_coeffs_1d(out_w, w)
+    x = f32(img)
+    # horizontal pass: Q11 weights, keep integer-valued f32
+    left = x[:, sx]
+    right = x[:, np.minimum(sx + 1, w - 1)]
+    shp = (1, out_w) + (1,) * (img.ndim - 2)
+    row = left * wx1.reshape(shp) + right * wx2.reshape(shp)
+    # vertical pass then descale by 2*bits with half-up rounding
+    top = row[sy]
+    bot = row[np.minimum(sy + 1, h - 1)]
+    shp = (out_h, 1) + (1,) * (img.ndim - 2)
+    acc = top * wy1.reshape(shp) + bot * wy2.reshape(shp)
+    return saturate_u8(jnp.floor((acc + 2.0 ** 21) / 2.0 ** 22))
+
+
+def _resize_cubic_u8(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    h, w = img.shape[0], img.shape[1]
+    iy, wy = _cubic_coeffs_1d(out_h, h)
+    ix, wx = _cubic_coeffs_1d(out_w, w)
+    x = f32(img)
+    shp_w = (1, out_w) + (1,) * (img.ndim - 2)
+    row = sum(x[:, ix[:, t]] * wx[:, t].reshape(shp_w) for t in range(4))
+    shp_h = (out_h, 1) + (1,) * (img.ndim - 2)
+    acc = sum(row[iy[:, t]] * wy[:, t].reshape(shp_h) for t in range(4))
+    return saturate_u8(acc / 2.0 ** 22)
+
+
+def _resize_nearest(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    h, w = img.shape[0], img.shape[1]
+    sy = np.minimum(np.floor(np.arange(out_h) * (h / out_h)).astype(np.int64), h - 1)
+    sx = np.minimum(np.floor(np.arange(out_w) * (w / out_w)).astype(np.int64), w - 1)
+    return img[sy][:, sx]
+
+
+def _resize_area_u8(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    h, w = img.shape[0], img.shape[1]
+    if h % out_h == 0 and w % out_w == 0:
+        # integer decimation: exact box mean with cvRound
+        ky, kx = h // out_h, w // out_w
+        x = f32(img).reshape((out_h, ky, out_w, kx) + img.shape[2:])
+        s = x.sum(axis=(1, 3))
+        return saturate_u8(s * (1.0 / (ky * kx)))
+    # fractional INTER_AREA: weighted box per output pixel (float path)
+    def coeffs(dst, src):
+        scale = src / dst
+        rows = []
+        for d in range(dst):
+            a, b = d * scale, (d + 1) * scale
+            ia, ib = int(np.floor(a)), int(min(np.ceil(b), src))
+            idx = np.arange(ia, ib)
+            wgt = np.minimum(idx + 1, b) - np.maximum(idx, a)
+            rows.append((idx, wgt / (b - a)))
+        n = max(len(r[0]) for r in rows)
+        I = np.zeros((dst, n), dtype=np.int64)
+        W = np.zeros((dst, n), dtype=np.float32)
+        for d, (idx, wgt) in enumerate(rows):
+            I[d, :len(idx)] = idx
+            W[d, :len(idx)] = wgt
+        return I, W
+    iy, wy = coeffs(out_h, h)
+    ix, wx = coeffs(out_w, w)
+    x = f32(img)
+    shp_w = (1, out_w) + (1,) * (img.ndim - 2)
+    row = sum(x[:, ix[:, t]] * wx[:, t].reshape(shp_w) for t in range(ix.shape[1]))
+    shp_h = (out_h, 1) + (1,) * (img.ndim - 2)
+    acc = sum(row[iy[:, t]] * wy[:, t].reshape(shp_h) for t in range(iy.shape[1]))
+    return saturate_u8(acc)
+
+
+def resize(img: jnp.ndarray, out_h: int, out_w: int,
+           interpolation: str = "linear") -> jnp.ndarray:
+    """cv2.resize to a static (out_h, out_w). interpolation in
+    {nearest, linear, cubic, area}."""
+    if out_h == img.shape[0] and out_w == img.shape[1]:
+        return img
+    if interpolation == "nearest":
+        return _resize_nearest(img, out_h, out_w)
+    if interpolation == "linear":
+        return _resize_linear_u8(img, out_h, out_w)
+    if interpolation == "cubic":
+        return _resize_cubic_u8(img, out_h, out_w)
+    if interpolation == "area":
+        if out_h >= img.shape[0] or out_w >= img.shape[1]:
+            # OpenCV INTER_AREA upscale falls back to bilinear
+            return _resize_linear_u8(img, out_h, out_w)
+        return _resize_area_u8(img, out_h, out_w)
+    raise ValueError(f"unknown interpolation {interpolation!r}")
+
+
+def resize_long_side(img: jnp.ndarray, scale_long: int,
+                     interpolation: str = "area") -> jnp.ndarray:
+    """DocScanner.py:27-36 resize_long_side: long side -> scale_long, aspect
+    kept, INTER_AREA; no-op when already smaller."""
+    h, w = int(img.shape[0]), int(img.shape[1])
+    long_side = max(h, w)
+    if long_side <= scale_long:
+        return img
+    s = scale_long / long_side
+    return resize(img, int(round(h * s)), int(round(w * s)), interpolation)
+
+
+# ---------------------------------------------------------------------------
+# affine / perspective warps (inverse-map bilinear gather)
+# ---------------------------------------------------------------------------
+
+def get_perspective_transform(src_pts, dst_pts) -> np.ndarray:
+    """cv2.getPerspectiveTransform: 3x3 homography from 4 point pairs.
+
+    Host-side numpy (8x8 solve, runs once per image; DocScanner.py:142).
+    """
+    src = np.asarray(src_pts, dtype=np.float64).reshape(4, 2)
+    dst = np.asarray(dst_pts, dtype=np.float64).reshape(4, 2)
+    A = np.zeros((8, 8), dtype=np.float64)
+    b = np.zeros(8, dtype=np.float64)
+    for i in range(4):
+        x, y = src[i]
+        u, v = dst[i]
+        A[i] = [x, y, 1, 0, 0, 0, -x * u, -y * u]
+        A[i + 4] = [0, 0, 0, x, y, 1, -x * v, -y * v]
+        b[i], b[i + 4] = u, v
+    h = np.linalg.solve(A, b)
+    return np.append(h, 1.0).reshape(3, 3)
+
+
+def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0) -> np.ndarray:
+    """cv2.getRotationMatrix2D (DocScanner.py:234)."""
+    a = np.deg2rad(angle_deg)
+    alpha, beta = scale * np.cos(a), scale * np.sin(a)
+    cx, cy = center
+    return np.array([
+        [alpha, beta, (1 - alpha) * cx - beta * cy],
+        [-beta, alpha, beta * cx + (1 - alpha) * cy],
+    ], dtype=np.float64)
+
+
+_WARP_BITS = 5                     # cv2 INTER_BITS
+_WARP_SCALE = 1 << _WARP_BITS      # 32 fractional positions
+_WARP_ROUND = 1 << (2 * _WARP_BITS + _RESIZE_BITS * 2 - 1)
+
+
+def _bilinear_gather_u8(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
+                        border: str = "constant", border_value: float = 0.0) -> jnp.ndarray:
+    """Sample img at float coords (map_x, map_y) with cv2 INTER_LINEAR
+    semantics.
+
+    This OpenCV build (5.0) computes remap/warp bilinear in plain float32
+    (verified empirically: no 1/32 coordinate quantization, no Q15 weight
+    tables) with a final cvRound — which is exactly the TPU-friendly
+    formulation: a 4-tap gather with float MACs.
+    """
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(map_x)
+    y0 = jnp.floor(map_y)
+    fx, fy = map_x - x0, map_y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        v = f32(img[yc, xc])
+        if border == "replicate":
+            return v
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        m = inb.astype(jnp.float32)
+        if img.ndim == 3:
+            m = m[..., None]
+        return v * m + border_value * (1.0 - m)
+
+    def wmul(wy, wx):
+        ww = wy * wx
+        return ww[..., None] if img.ndim == 3 else ww
+
+    acc = (tap(y0i, x0i) * wmul(1.0 - fy, 1.0 - fx)
+           + tap(y0i, x0i + 1) * wmul(1.0 - fy, fx)
+           + tap(y0i + 1, x0i) * wmul(fy, 1.0 - fx)
+           + tap(y0i + 1, x0i + 1) * wmul(fy, fx))
+    return saturate_u8(acc)
+
+
+def warp_perspective(img: jnp.ndarray, M: np.ndarray, out_h: int, out_w: int,
+                     border: str = "constant", border_value: float = 0.0) -> jnp.ndarray:
+    """cv2.warpPerspective INTER_LINEAR (DocScanner.py:143). M maps src->dst;
+    sampling inverts it on host."""
+    Minv = np.linalg.inv(np.asarray(M, dtype=np.float64))
+    ys, xs = jnp.meshgrid(jnp.arange(out_h, dtype=jnp.float32),
+                          jnp.arange(out_w, dtype=jnp.float32), indexing="ij")
+    A = jnp.asarray(Minv, dtype=jnp.float32)
+    denom = A[2, 0] * xs + A[2, 1] * ys + A[2, 2]
+    denom = jnp.where(denom != 0, denom, 1e-20)
+    sx = (A[0, 0] * xs + A[0, 1] * ys + A[0, 2]) / denom
+    sy = (A[1, 0] * xs + A[1, 1] * ys + A[1, 2]) / denom
+    return _bilinear_gather_u8(img, sx, sy, border=border, border_value=border_value)
+
+
+def warp_affine(img: jnp.ndarray, M: np.ndarray, out_h: int, out_w: int,
+                border: str = "constant", border_value: float = 0.0) -> jnp.ndarray:
+    """cv2.warpAffine INTER_LINEAR (DocScanner.py:235 uses BORDER_REPLICATE).
+    M is the forward 2x3; inverted on host like cv2's invertAffineTransform."""
+    M = np.asarray(M, dtype=np.float64)
+    D = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+    Di = 1.0 / D if D != 0 else 0.0
+    ia = np.array([
+        [M[1, 1] * Di, -M[0, 1] * Di, 0.0],
+        [-M[1, 0] * Di, M[0, 0] * Di, 0.0],
+    ])
+    ia[0, 2] = -ia[0, 0] * M[0, 2] - ia[0, 1] * M[1, 2]
+    ia[1, 2] = -ia[1, 0] * M[0, 2] - ia[1, 1] * M[1, 2]
+    ys, xs = jnp.meshgrid(jnp.arange(out_h, dtype=jnp.float32),
+                          jnp.arange(out_w, dtype=jnp.float32), indexing="ij")
+    A = jnp.asarray(ia, dtype=jnp.float32)
+    sx = A[0, 0] * xs + A[0, 1] * ys + A[0, 2]
+    sy = A[1, 0] * xs + A[1, 1] * ys + A[1, 2]
+    return _bilinear_gather_u8(img, sx, sy, border=border, border_value=border_value)
+
+
+def rotate(img: jnp.ndarray, angle_deg: float, scale: float = 1.0,
+           border: str = "constant") -> jnp.ndarray:
+    """ipynb cell 14 rotate: getRotationMatrix2D(center) + warpAffine."""
+    h, w = int(img.shape[0]), int(img.shape[1])
+    M = get_rotation_matrix_2d((w / 2.0, h / 2.0), angle_deg, scale)
+    return warp_affine(img, M, h, w, border=border)
+
+
+def translate(img: jnp.ndarray, tx: float, ty: float,
+              border: str = "constant") -> jnp.ndarray:
+    """ipynb cell 14 translate: warpAffine with [[1,0,tx],[0,1,ty]]."""
+    M = np.array([[1.0, 0.0, tx], [0.0, 1.0, ty]])
+    h, w = int(img.shape[0]), int(img.shape[1])
+    return warp_affine(img, M, h, w, border=border)

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpuimage.core.dtypes import saturate_u8, f32, i32
+from tpuimage.core.dtypes import saturate_u8, f32, i32, lerp2
 from tpuimage.core.borders import pad2d, BORDER_REFLECT_101
 
 
@@ -96,7 +96,9 @@ def _clahe_tile_luts(tiles: jnp.ndarray, clip_limit: float, tile_area: int) -> j
     else:
         hist = one_hot_counts
 
-    lut_scale = 255.0 / tile_area
+    # OpenCV: float lutScale = 255.0f / tileArea (single-precision divide),
+    # then sum * lutScale in float32 — match the exact f32 rounding.
+    lut_scale = np.float32(255.0) / np.float32(tile_area)
     csum = jnp.cumsum(hist, axis=1)
     return saturate_u8(f32(csum) * lut_scale)
 
@@ -125,8 +127,10 @@ def clahe(gray: jnp.ndarray, clip_limit: float = 40.0,
     # bilinear interpolation between the 4 neighbouring tile LUTs
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
-    tyf = ys * (1.0 / th) - 0.5
-    txf = xs * (1.0 / tw) - 0.5
+    # OpenCV: inv_th = 1.0f/tileHeight (f32 divide), tyf = y*inv_th - 0.5f —
+    # a reciprocal multiply with the reciprocal rounded to f32 first.
+    tyf = ys * (np.float32(1.0) / np.float32(th)) - np.float32(0.5)
+    txf = xs * (np.float32(1.0) / np.float32(tw)) - np.float32(0.5)
     ty1 = jnp.floor(tyf).astype(jnp.int32)
     tx1 = jnp.floor(txf).astype(jnp.int32)
     ya = (tyf - ty1)[:, None]
@@ -141,5 +145,5 @@ def clahe(gray: jnp.ndarray, clip_limit: float = 40.0,
     l12 = f32(luts[ty1c, tx2c, v])
     l21 = f32(luts[ty2c, tx1c, v])
     l22 = f32(luts[ty2c, tx2c, v])
-    res = (l11 * (1 - xa) + l12 * xa) * (1 - ya) + (l21 * (1 - xa) + l22 * xa) * ya
+    res = lerp2(l11, l12, l21, l22, xa, ya)
     return saturate_u8(res)

@@ -1,0 +1,118 @@
+"""Hough line transform as a dense TPU-friendly accumulator.
+
+Replaces cv2.HoughLines (DocScanner.py:219 deskew, threshold 150) and
+cv2.HoughLinesP (DocScanner.py:81 localize, classification.py:72 document
+cue). HoughLinesP is probabilistic (random sampling, order-dependent) —
+TPU-hostile and irreproducible; per SURVEY.md §7 hard part 2 we substitute
+a deterministic variant: peaks of the standard accumulator, emitted as full
+image-clipped segments. Its only uses in the reference are (a) counting
+lines for a document score and (b) re-drawing lines over the edge map to
+close contour gaps — both served by the deterministic form.
+
+Design: instead of per-pixel scatter into (rho, theta) bins (OpenCV's
+sequential loop), we scan over theta bins; each step computes the rho
+index image and bincounts the masked pixels (segment-sum) — dense,
+static-shaped, vmappable.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpuimage.core.dtypes import f32, i32
+
+
+@functools.partial(jax.jit, static_argnames=("rho", "theta_bins",))
+def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
+                      theta_bins: int = 180) -> jnp.ndarray:
+    """(numrho, numtheta) vote accumulator, same binning as cv2.HoughLines
+    with theta = pi/theta_bins: r = round((x cos t + y sin t)/rho) + (nr-1)/2."""
+    h, w = edges.shape
+    numrho = int(round(((w + h) * 2 + 1) / rho))
+    thetas = np.arange(theta_bins) * (np.pi / theta_bins)
+    cos_t = jnp.asarray(np.cos(thetas) / rho, dtype=jnp.float32)
+    sin_t = jnp.asarray(np.sin(thetas) / rho, dtype=jnp.float32)
+
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    mask = (edges != 0)
+    xs_m = xs.reshape(-1)
+    ys_m = ys.reshape(-1)
+    mm = mask.reshape(-1)
+
+    def one_theta(carry, ct_st):
+        ct, st = ct_st
+        r = jnp.round(xs_m * ct + ys_m * st).astype(jnp.int32) + (numrho - 1) // 2
+        r = jnp.where(mm, r, numrho)  # overflow bin for non-edges
+        counts = jnp.zeros(numrho + 1, jnp.int32).at[r].add(1)
+        return carry, counts[:numrho]
+
+    _, acc = lax.scan(one_theta, None, (cos_t, sin_t))
+    return acc.T  # (numrho, theta_bins)
+
+
+def hough_lines(edges: jnp.ndarray, threshold: int, rho: float = 1.0,
+                theta_bins: int = 180, max_lines: int = 64):
+    """cv2.HoughLines analog: returns (lines (max_lines, 2) [rho, theta],
+    valid mask). Peaks = strict local maxima over the 4-neighbourhood in
+    (rho, theta) with votes > threshold, ordered by votes (cv2 sorts too)."""
+    acc = hough_accumulator(edges, rho=rho, theta_bins=theta_bins)
+    numrho = acc.shape[0]
+    a = jnp.pad(acc, 1, mode="constant")
+    c = a[1:-1, 1:-1]
+    is_peak = ((c > a[:-2, 1:-1]) & (c >= a[2:, 1:-1]) &
+               (c > a[1:-1, :-2]) & (c >= a[1:-1, 2:]) &
+               (c > threshold))
+    votes = jnp.where(is_peak, c, 0)
+    flat = votes.reshape(-1)
+    top_v, top_i = lax.top_k(flat, max_lines)
+    r_idx = top_i // theta_bins
+    t_idx = top_i % theta_bins
+    rhos = (f32(r_idx) - (numrho - 1) // 2) * rho
+    thetas = f32(t_idx) * (np.pi / theta_bins)
+    lines = jnp.stack([rhos, thetas], axis=-1)
+    return lines, top_v > 0
+
+
+def hough_lines_p_det(edges: jnp.ndarray, threshold: int,
+                      min_line_length: float = 0.0, max_lines: int = 64,
+                      rho: float = 1.0, theta_bins: int = 180):
+    """Deterministic stand-in for cv2.HoughLinesP (DocScanner.py:81).
+
+    Returns (segments (max_lines, 4) [x1,y1,x2,y2], valid) — each detected
+    (rho, theta) peak clipped to the image rectangle. min_line_length prunes
+    segments whose clipped span is shorter.
+    """
+    h, w = edges.shape
+    lines, valid = hough_lines(edges, threshold, rho=rho,
+                               theta_bins=theta_bins, max_lines=max_lines)
+    r = lines[:, 0]
+    t = lines[:, 1]
+    ct, st = jnp.cos(t), jnp.sin(t)
+    # param form: p(s) = (r*ct - s*st, r*st + s*ct); clip s to the box
+    big = float(h + w) * 2.0
+
+    def clip_s(px, py, dx, dy):
+        # entering/exit params against x in [0,w-1], y in [0,h-1]
+        def rng(p0, d, lo, hi):
+            s1 = jnp.where(d != 0, (lo - p0) / jnp.where(d != 0, d, 1.0), -big)
+            s2 = jnp.where(d != 0, (hi - p0) / jnp.where(d != 0, d, 1.0), big)
+            return jnp.minimum(s1, s2), jnp.maximum(s1, s2)
+
+        ax1, ax2 = rng(px, dx, 0.0, w - 1.0)
+        ay1, ay2 = rng(py, dy, 0.0, h - 1.0)
+        return jnp.maximum(ax1, ay1), jnp.minimum(ax2, ay2)
+
+    px, py = r * ct, r * st
+    dx, dy = -st, ct
+    s0, s1 = clip_s(px, py, dx, dy)
+    x1, y1 = px + s0 * dx, py + s0 * dy
+    x2, y2 = px + s1 * dx, py + s1 * dy
+    seg_len = jnp.hypot(x2 - x1, y2 - y1)
+    ok = valid & (s1 > s0) & (seg_len >= min_line_length)
+    segs = jnp.stack([x1, y1, x2, y2], axis=-1)
+    return segs, ok

@@ -7,10 +7,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from tpuimage.core.dtypes import f32
+from tpuimage.core.dtypes import f32, saturate_u8
 from tpuimage.core.borders import BORDER_REPLICATE
 from tpuimage.ops.histogram import otsu_threshold
-from tpuimage.ops.filters import gaussian_blur_u8, box_filter_u8
+from tpuimage.ops.filters import gaussian_blur_f32, box_filter_u8
 
 
 def threshold_binary(gray: jnp.ndarray, thresh, maxval: int = 255) -> jnp.ndarray:
@@ -33,15 +33,16 @@ def adaptive_threshold(gray: jnp.ndarray, max_value: int = 255,
                        C: float = 10.0, inverse: bool = False) -> jnp.ndarray:
     """cv2.adaptiveThreshold THRESH_BINARY.
 
-    The local mean is the uint8-rounded gaussian/box blur with
-    BORDER_REPLICATE (OpenCV computes the mean into an 8-bit Mat before
-    comparing); binary test is src + ceil(C')... for integer C it reduces
-    to ``src > mean - C``.
+    GAUSSIAN_C converts src to CV_32F, GaussianBlurs in float32 with a
+    CV_32F kernel and BORDER_REPLICATE, then rounds the mean back to uint8
+    (cvRound); MEAN_C box-filters in integers. The binary test is
+    ``src - mean > -idelta`` with idelta = ceil(C) (floor for INV).
     """
     if block_size % 2 == 0:
         block_size += 1
     if method == "gaussian":
-        mean = gaussian_blur_u8(gray, ksize=block_size, border=BORDER_REPLICATE)
+        mean_f = gaussian_blur_f32(f32(gray), ksize=block_size, border=BORDER_REPLICATE)
+        mean = saturate_u8(mean_f)
     else:
         mean = box_filter_u8(gray, block_size, border=BORDER_REPLICATE)
     import math
