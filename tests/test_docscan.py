@@ -1,0 +1,150 @@
+"""DocScanner pipeline tests: quad localization, post-warp stage parity
+(bit-exact vs cv2 on the same warped input), deskew, batch consistency.
+
+The committed outputs/ goldens came from a degenerate quad (SURVEY.md §2.1
+C11) and the reference's HoughLinesP is random (and crashes on this cv2
+build), so the parity contract is: (a) our deterministic localization finds
+a sane document quad, (b) stages 04-08 match cv2 exactly given the same
+warped page.
+"""
+import numpy as np
+import cv2
+import pytest
+
+from tpuimage.pipelines import docscan
+
+DOC1 = "/root/reference/public/DIP test/document1.jpeg"
+
+
+@pytest.fixture(scope="module")
+def doc_result(tmp_path_factory):
+    out = tmp_path_factory.mktemp("scan")
+    return docscan.process_document(DOC1, out_dir=str(out),
+                                    config=docscan.GUI_DOCUMENT_CONFIG)
+
+
+class TestLocalize:
+    def test_quad_found_and_ordered(self, doc_result):
+        quad = doc_result["quad"]
+        assert quad is not None and not doc_result["use_whole"]
+        tl, tr, br, bl = quad
+        # ordering invariants (y-down coords)
+        assert tl[0] + tl[1] <= br[0] + br[1]
+        assert tr[0] >= tl[0] and br[1] >= tr[1]
+        # document1 fills most of the frame: quad covers > 50% of the image
+        from tpuimage.detect import contours as cnt
+        img = cv2.imread(DOC1)
+        ratio = cnt.contour_area(quad) / (img.shape[0] * img.shape[1])
+        assert 0.5 < ratio <= 1.0
+
+    def test_warp_is_a4_page(self, doc_result):
+        w = np.asarray(doc_result["warped"])
+        assert w.shape == (1200, 849, 3)  # A4 portrait @ scale_long 1200
+
+
+class TestPostWarpParity:
+    @pytest.mark.parametrize("cfg", [docscan.GUI_DOCUMENT_CONFIG,
+                                     docscan.DocScanConfig(scale_long=1200)])
+    def test_stages_bit_exact(self, doc_result, cfg):
+        warped = np.asarray(doc_result["warped"])
+        ours = docscan.docscan_post_warp(warped, cfg)
+
+        gray = cv2.cvtColor(warped[..., ::-1].copy(), cv2.COLOR_BGR2GRAY)
+        h, w = gray.shape
+        base = max(15, int(round(min(h, w) * cfg.illum_blur_frac)))
+        base += base % 2 == 0
+        bg = cv2.GaussianBlur(gray, (base, base), 0)
+        if cfg.illum_method == "divide":
+            tmp = cv2.divide(gray, bg, scale=255)
+        else:
+            tmp = cv2.subtract(gray, bg)
+        illum = cv2.normalize(tmp, None, 0, 255, cv2.NORM_MINMAX)
+        stretch = cv2.normalize(illum, None, 0, 255, cv2.NORM_MINMAX)
+
+        mbk = cfg.mask_blur_ksize + (cfg.mask_blur_ksize % 2 == 0)
+        bg2 = cv2.GaussianBlur(stretch, (mbk, mbk), 0)
+        ink = cv2.normalize(cv2.subtract(bg2, stretch), None, 0, 255, cv2.NORM_MINMAX)
+        t, _ = cv2.threshold(ink, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        _, ms = cv2.threshold(ink, max(0, int(round(t - cfg.mask_thresh_offset))),
+                              255, cv2.THRESH_BINARY)
+        bk = max(cfg.blackhat_ksize, 3)
+        bk += bk % 2 == 0
+        bh_h = max(3, int(round(bk * cfg.blackhat_vertical_ratio)))
+        bh_h += bh_h % 2 == 0
+        kv = cv2.getStructuringElement(cv2.MORPH_RECT, (bk, bh_h))
+        bh = cv2.normalize(cv2.morphologyEx(stretch, cv2.MORPH_BLACKHAT, kv),
+                           None, 0, 255, cv2.NORM_MINMAX)
+        t2, _ = cv2.threshold(bh, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        _, mb = cv2.threshold(bh, max(0, int(round(t2 - cfg.mask_thresh_offset))),
+                              255, cv2.THRESH_BINARY)
+        mask = cv2.max(ms, mb)
+        mask = cv2.dilate(mask, cv2.getStructuringElement(cv2.MORPH_RECT, (2, 2)),
+                          iterations=cfg.ink_dilate_iters)
+        bs = cfg.block_size + (cfg.block_size % 2 == 0)
+        algo = (cv2.ADAPTIVE_THRESH_GAUSSIAN_C if cfg.thresh_method == "gaussian"
+                else cv2.ADAPTIVE_THRESH_MEAN_C)
+        ab = cv2.adaptiveThreshold(stretch, 255, algo, cv2.THRESH_BINARY, bs, cfg.C)
+        wt = ab.copy()
+        wt[mask == 0] = 255
+
+        for name, ref in [("illum", illum), ("stretch", stretch),
+                          ("inkmask", mask), ("adapt", ab), ("weighted", wt)]:
+            d = np.abs(ref.astype(int) - np.asarray(ours[name]).astype(int))
+            assert d.max() == 0, f"{name}: maxdiff {d.max()}"
+
+    def test_deskew_angle_matches_cv2(self, doc_result):
+        cfg = docscan.GUI_DOCUMENT_CONFIG
+        warped = np.asarray(doc_result["warped"])
+        ours = docscan.docscan_post_warp(warped, cfg)
+        weighted = np.asarray(ours["weighted"])
+        edges = cv2.Canny(weighted, cfg.canny_low, cfg.canny_high)
+        lines = cv2.HoughLines(edges, 1, np.pi / 180, 150)
+        if lines is None or len(lines) == 0:
+            ref_angle = 0.0
+        else:
+            thetas = lines.reshape(-1, 2)[:, 1]
+            angs = (thetas * 180.0 / np.pi + 90.0) % 180.0 - 90.0
+            ref_angle = float(np.median(angs))
+            if abs(ref_angle) > cfg.max_rotate:
+                ref_angle = 0.0
+        assert abs(float(ours["deskew_angle"]) - ref_angle) < 1.0
+
+    def test_zero_angle_deskew_is_identity(self, doc_result):
+        stages = doc_result["stages"]
+        if float(stages["deskew_angle"]) == 0.0:
+            assert np.array_equal(np.asarray(stages["deskew"]),
+                                  np.asarray(stages["weighted"]))
+
+
+class TestBatch:
+    def test_post_warp_batch_matches_single(self, doc_result):
+        warped = np.asarray(doc_result["warped"])[:256, :256]
+        batch = np.stack([warped, warped[:, ::-1]])
+        cfg = docscan.GUI_DOCUMENT_CONFIG
+        single = docscan.docscan_post_warp(warped, cfg)
+        batched = docscan.docscan_post_warp_batch(batch, cfg)
+        assert np.array_equal(np.asarray(batched["clean"][0]),
+                              np.asarray(single["clean"]))
+
+
+class TestFallback:
+    def test_use_whole_on_featureless_image(self, tmp_path):
+        from PIL import Image
+        flat = np.full((120, 160, 3), 200, np.uint8)
+        p = tmp_path / "flat.png"
+        Image.fromarray(flat).save(p)
+        res = docscan.process_document(str(p), out_dir=None, save_stages=False,
+                                       config=docscan.DocScanConfig(scale_long=200))
+        assert res["use_whole"]
+        assert np.asarray(res["binary"]).ndim == 2
+
+    def test_fallback_disabled_raises(self, tmp_path):
+        from PIL import Image
+        import dataclasses
+        flat = np.full((120, 160, 3), 200, np.uint8)
+        p = tmp_path / "flat.png"
+        Image.fromarray(flat).save(p)
+        cfg = dataclasses.replace(docscan.DocScanConfig(scale_long=200),
+                                  fallback_use_whole=False)
+        with pytest.raises(RuntimeError):
+            docscan.process_document(str(p), out_dir=None, save_stages=False, config=cfg)

@@ -113,8 +113,8 @@ def approx_poly_dp(contour: np.ndarray, epsilon: float,
         if norm == 0:
             d = np.sqrt(((pts[indices] - a) ** 2).sum(axis=1))
         else:
-            d = np.abs(np.cross(np.broadcast_to(ab, (len(indices), 2)),
-                                pts[indices] - a)) / norm
+            rel = pts[indices] - a
+            d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0]) / norm
         if len(indices) == 0:
             return []
         imax = int(np.argmax(d))

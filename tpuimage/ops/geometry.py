@@ -289,6 +289,31 @@ def warp_affine(img: jnp.ndarray, M: np.ndarray, out_h: int, out_w: int,
     return _bilinear_gather_u8(img, sx, sy, border=border, border_value=border_value)
 
 
+def rotate_traced(img: jnp.ndarray, angle_deg: jnp.ndarray,
+                  border: str = "replicate") -> jnp.ndarray:
+    """Rotate about the image center by a *traced* angle (degrees) — the
+    in-graph form of getRotationMatrix2D+warpAffine used by DocScanner's
+    deskew (DocScanner.py:233-235), so the whole post-warp pipeline stays a
+    single jit program with no host round-trip for the data-dependent angle.
+
+    The inverse map of a rotation by +a about c is a rotation by -a about
+    c; sampling uses the same exact bilinear gather as warp_affine.
+    """
+    h, w = int(img.shape[0]), int(img.shape[1])
+    cx, cy = w / 2.0, h / 2.0
+    a = jnp.deg2rad(f32(angle_deg))
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    xr = xs - cx
+    yr = ys - cy
+    # forward M (cv2 convention, y-down): [cos, sin; -sin, cos] — the
+    # inverse applied to dst coords is [cos, -sin; sin, cos].
+    sx = ca * xr - sa * yr + cx
+    sy = sa * xr + ca * yr + cy
+    return _bilinear_gather_u8(img, sx, sy, border=border)
+
+
 def rotate(img: jnp.ndarray, angle_deg: float, scale: float = 1.0,
            border: str = "constant") -> jnp.ndarray:
     """ipynb cell 14 rotate: getRotationMatrix2D(center) + warpAffine."""

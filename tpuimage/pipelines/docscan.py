@@ -1,0 +1,359 @@
+"""DocScanner — the flagship 8-stage document-scan pipeline.
+
+Re-implements DocScanner.py:262-365 (process_document) and its stage
+functions (preprocess :39, localize_document :76, perspective_warp :117,
+illumination_correction :147, adaptive_binarize :163, contrast_stretch
+:171, _compute_ink_mask :175, deskew :217, morph_cleanup :247) plus the
+GUI override preset AI_classification.py:645-663 that produced the
+scan_03..08 goldens (849x1200 A4 @ scale_long 1200).
+
+TPU-native architecture (SURVEY.md §7 step 6):
+
+- ``localize`` — one jit program: gray → Canny → dense Hough accumulator →
+  deterministic segments. The tiny edge map + segments come back to host
+  where border-following / approxPolyDP pick the document quad (inherently
+  sequential, O(edge pixels), clean 8-float output — the one host/device
+  boundary in the pipeline).
+- ``docscan_post_warp`` — ONE fused jit program for stages 04-08:
+  illumination flattening, contrast stretch, ink mask (incl. two Otsu
+  solves), adaptive threshold, mask weighting, deskew (Hough median angle
+  + traced-angle rotation — no host round-trip), morphological close.
+  This is the "fused DocScanner pipeline" of BASELINE.json:2 and is
+  vmappable over a batch of warped pages (static A4 shape).
+- ``process_document`` — host orchestration mirroring the reference CLI
+  semantics, including the use-whole-image fallback chain
+  (DocScanner.py:286-298) and per-stage dumps.
+
+Data-dependent shapes: the warp target is fixed by (page, scale_long,
+portrait?) — at most two static shapes per config (portrait/landscape), so
+jit caching stays bounded (SURVEY.md §7 hard part 4).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuimage.core.dtypes import f32, saturate_u8
+from tpuimage.ops.bilateral import bilateral_filter
+from tpuimage.ops.filters import gaussian_blur_u8
+from tpuimage.ops import color as colorops
+from tpuimage.ops.arith import subtract_u8, divide_u8, normalize_minmax, max_u8
+from tpuimage.ops.threshold import adaptive_threshold, threshold_binary
+from tpuimage.ops.histogram import otsu_threshold
+from tpuimage.ops.morphology import structuring_element, erode, dilate, morph_close, morph_blackhat
+from tpuimage.ops.edges import canny
+from tpuimage.ops.hough import hough_lines, hough_lines_p_det
+from tpuimage.ops import geometry
+from tpuimage.ops.draw import draw_segments, draw_polyline_overlay
+from tpuimage.detect import contours as cnt
+from tpuimage.io.imageio import load_image_rgb, save_image
+
+
+@dataclasses.dataclass(frozen=True)
+class DocScanConfig:
+    """All tunables of DocScanner.py:262-276 / main() :368-401."""
+    page: str = "A4"
+    scale_long: int = 1600
+    bilateral_d: int = 9
+    bilateral_sigma_color: float = 75.0
+    bilateral_sigma_space: float = 75.0
+    gaussian_ksize: int = 0
+    canny_low: int = 50
+    canny_high: int = 150
+    min_area_ratio: float = 0.2
+    max_area_ratio: float = 0.98
+    illum_method: str = "subtract"
+    illum_blur_frac: float = 0.02
+    block_size: int = 35
+    C: int = 10
+    thresh_method: str = "gaussian"
+    mask_blur_ksize: int = 51
+    blackhat_ksize: int = 9
+    blackhat_vertical_ratio: float = 2.0
+    ink_dilate_iters: int = 1
+    mask_thresh_offset: int = 8
+    morph_ksize: int = 3
+    morph_iters: int = 1
+    max_rotate: float = 10.0
+    fallback_use_whole: bool = True
+    min_quad_area_ratio: float = 0.15
+
+
+# The override config AI_classification.py:645-663 used to produce the
+# committed scan_03..08 goldens (849x1200).
+GUI_DOCUMENT_CONFIG = DocScanConfig(
+    scale_long=1200, illum_method="divide", illum_blur_frac=0.05,
+    block_size=31, C=3, canny_low=30, canny_high=100,
+    morph_ksize=1, morph_iters=0)
+
+
+# ---------------------------------------------------------------------------
+# stage ops (jit-compiled pieces)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("d", "sigma_color", "sigma_space",
+                                              "gaussian_ksize"))
+def preprocess(rgb: jnp.ndarray, d: int = 9, sigma_color: float = 75.0,
+               sigma_space: float = 75.0, gaussian_ksize: int = 0) -> jnp.ndarray:
+    """DocScanner.py:39-45: gray → bilateral → optional gaussian."""
+    gray = colorops.rgb_to_gray(rgb) if rgb.ndim == 3 else rgb
+    out = bilateral_filter(gray, d, sigma_color, sigma_space)
+    if gaussian_ksize and gaussian_ksize > 1:
+        out = gaussian_blur_u8(out, ksize=gaussian_ksize)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("canny_low", "canny_high"))
+def _localize_device(rgb: jnp.ndarray, canny_low: int, canny_high: int):
+    """Device part of localize_document (DocScanner.py:78-81): Canny edges +
+    deterministic Hough segments (threshold 80, minLineLength 80)."""
+    gray = colorops.rgb_to_gray(rgb)
+    edges = canny(gray, canny_low, canny_high)
+    segs, ok = hough_lines_p_det(edges, threshold=80, min_line_length=80.0,
+                                 max_lines=128)
+    return edges, segs, ok
+
+
+def order_quad_points(pts: np.ndarray) -> np.ndarray:
+    """DocScanner.py:48-57: TL/TR/BR/BL by coordinate sum/difference."""
+    pts = np.asarray(pts, dtype=np.float32).reshape(4, 2)
+    s = pts.sum(axis=1)
+    d = pts[:, 1] - pts[:, 0]
+    out = np.zeros((4, 2), dtype=np.float32)
+    out[0] = pts[np.argmin(s)]
+    out[2] = pts[np.argmax(s)]
+    out[1] = pts[np.argmin(d)]
+    out[3] = pts[np.argmax(d)]
+    return out
+
+
+def _largest_quadrilateral(contour_list) -> Optional[np.ndarray]:
+    """DocScanner.py:60-73: approxPolyDP(0.02*peri) keep 4-gons, max area."""
+    best, max_area = None, 0.0
+    for c in contour_list:
+        if len(c) < 4:
+            continue
+        peri = cnt.arc_length(c, closed=True)
+        approx = cnt.approx_poly_dp(c, 0.02 * peri, closed=True)
+        if len(approx) == 4:
+            area = cnt.contour_area(approx)
+            if area > max_area:
+                max_area, best = area, approx
+    return None if best is None else np.asarray(best, dtype=np.float32).reshape(4, 2)
+
+
+def localize_document(rgb: np.ndarray, config: DocScanConfig) -> Optional[np.ndarray]:
+    """DocScanner.py:76-109 — device Canny/Hough + host contour/quad fit."""
+    edges_d, segs_d, ok_d = _localize_device(jnp.asarray(rgb),
+                                             config.canny_low, config.canny_high)
+    edges = np.asarray(edges_d)
+    segs = np.asarray(segs_d)[np.asarray(ok_d)]
+    line_img = draw_segments(edges.shape, segs, thickness=2)
+    combined = edges | line_img
+
+    contour_list = cnt.find_external_contours(combined)
+    img_area = rgb.shape[0] * rgb.shape[1]
+    filtered = [c for c in contour_list
+                if config.min_area_ratio <= cnt.contour_area(c) / max(img_area, 1)
+                <= config.max_area_ratio]
+    quad = _largest_quadrilateral(filtered if filtered else contour_list)
+    if quad is None:
+        if not contour_list:
+            return None
+        c = max(contour_list, key=cnt.contour_area)
+        quad = cnt.box_points(cnt.min_area_rect(c))
+    return order_quad_points(quad)
+
+
+def _warp_target_size(quad: np.ndarray, page: str, scale_long: int) -> Tuple[int, int]:
+    """DocScanner.py:117-139 target-size logic: page ratio x portrait test."""
+    tl, tr, br, bl = quad
+    width = max(int(np.linalg.norm(tr - tl)), int(np.linalg.norm(br - bl)))
+    height = max(int(np.linalg.norm(bl - tl)), int(np.linalg.norm(br - tr)))
+    portrait = height >= width
+    pu = page.upper()
+    if pu in ("A4", "A3", "A5"):
+        ratio = math.sqrt(2.0)
+    elif pu == "LETTER":
+        ratio = 11.0 / 8.5
+    else:
+        ratio = height / max(width, 1)
+    if portrait:
+        th = scale_long
+        tw = int(round(th / ratio))
+    else:
+        tw = scale_long
+        th = int(round(tw * ratio))
+    return th, tw
+
+
+def perspective_warp(rgb: np.ndarray, quad: np.ndarray, page: str = "A4",
+                     scale_long: int = 1600) -> jnp.ndarray:
+    """DocScanner.py:117-144: homography to the fixed page rectangle."""
+    th, tw = _warp_target_size(quad, page, scale_long)
+    dst = np.array([[0, 0], [tw - 1, 0], [tw - 1, th - 1], [0, th - 1]],
+                   dtype=np.float32)
+    M = geometry.get_perspective_transform(quad.astype(np.float32), dst)
+    return geometry.warp_perspective(jnp.asarray(rgb), M, th, tw)
+
+
+def _median_masked(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """np.median over vals[valid] (even count averages the two middles)."""
+    n = jnp.sum(valid.astype(jnp.int32))
+    big = jnp.float32(1e9)
+    s = jnp.sort(jnp.where(valid, vals, big))
+    lo = jnp.maximum((n - 1) // 2, 0)
+    hi = jnp.maximum(n // 2, 0)
+    med = 0.5 * (s[lo] + s[hi])
+    return jnp.where(n > 0, med, 0.0)
+
+
+def _deskew_angle(binary: jnp.ndarray, canny_low: int, canny_high: int,
+                  max_rotate: float) -> jnp.ndarray:
+    """DocScanner.py:217-231: Canny → HoughLines(thr 150) → median of
+    fold-to-[-90,90) angles, zeroed when |median| > max_rotate."""
+    edges = canny(binary, canny_low, canny_high)
+    lines, valid = hough_lines(edges, threshold=150, max_lines=256)
+    theta_deg = lines[:, 1] * (180.0 / np.pi)
+    ang = jnp.mod(theta_deg + 90.0, 180.0) - 90.0
+    med = _median_masked(ang, valid)
+    return jnp.where(jnp.abs(med) > max_rotate, 0.0, med)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def docscan_post_warp(warped_rgb: jnp.ndarray, config: DocScanConfig) -> Dict[str, jnp.ndarray]:
+    """Stages 04-08 fused into one program (BASELINE.json:2 metric).
+
+    warped_rgb: uint8 HWC (static page shape) → dict of every stage image.
+    """
+    c = config
+    gray = colorops.rgb_to_gray(warped_rgb)
+
+    # --- illumination correction (DocScanner.py:147-160) ---
+    h, w = int(gray.shape[0]), int(gray.shape[1])
+    base = max(15, int(round(min(h, w) * c.illum_blur_frac)))
+    if base % 2 == 0:
+        base += 1
+    bg = gaussian_blur_u8(gray, ksize=base)
+    if c.illum_method.lower() == "divide":
+        tmp = divide_u8(gray, bg, scale=255)
+    else:
+        tmp = subtract_u8(gray, bg)
+    illum = normalize_minmax(tmp)
+
+    # --- contrast stretch (:171-172) ---
+    stretched = normalize_minmax(illum)
+
+    # --- ink mask (:175-214) ---
+    mk = c.mask_blur_ksize + (c.mask_blur_ksize % 2 == 0)
+    ink_bg = gaussian_blur_u8(stretched, ksize=mk)
+    ink_sub = normalize_minmax(subtract_u8(ink_bg, stretched))
+    t_sub = jnp.maximum(jnp.round(otsu_threshold(ink_sub)) - c.mask_thresh_offset, 0)
+    mask_sub = threshold_binary(ink_sub, t_sub)
+
+    bk = max(c.blackhat_ksize, 3)
+    bk += (bk % 2 == 0)
+    bh_h = max(3, int(round(bk * c.blackhat_vertical_ratio)))
+    bh_h += (bh_h % 2 == 0)
+    se_vert = structuring_element("rect", (bk, bh_h))
+    bh = normalize_minmax(morph_blackhat(stretched, se_vert))
+    t_bh = jnp.maximum(jnp.round(otsu_threshold(bh)) - c.mask_thresh_offset, 0)
+    mask_bh = threshold_binary(bh, t_bh)
+
+    ink_mask = max_u8(mask_sub, mask_bh)
+    if c.ink_dilate_iters > 0:
+        ink_mask = dilate(ink_mask, structuring_element("rect", (2, 2)),
+                          iterations=c.ink_dilate_iters)
+
+    # --- adaptive binarize (:163-168) + mask weighting (:338-339) ---
+    bs = c.block_size + (c.block_size % 2 == 0)
+    base_bin = adaptive_threshold(stretched, 255, c.thresh_method, bs, c.C)
+    weighted = jnp.where(ink_mask == 0, jnp.uint8(255), base_bin)
+
+    # --- deskew (:217-236): in-graph angle + traced rotation ---
+    angle = _deskew_angle(weighted, c.canny_low, c.canny_high, c.max_rotate)
+    desk = geometry.rotate_traced(weighted, angle, border="replicate")
+
+    # --- morph cleanup (:247-259): close only, skipped for ksize<=1 ---
+    if c.morph_ksize > 1 and c.morph_iters > 0:
+        se = structuring_element("rect", (c.morph_ksize, c.morph_ksize))
+        clean = morph_close(desk, se, iterations=c.morph_iters)
+    else:
+        clean = desk
+
+    return {
+        "illum": illum, "stretch": stretched, "inkmask": ink_mask,
+        "adapt": base_bin, "weighted": weighted, "deskew": desk,
+        "clean": clean, "deskew_angle": angle,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def docscan_post_warp_batch(warped_batch: jnp.ndarray, config: DocScanConfig):
+    """The fused post-warp program vmapped over a batch of pages (NHWC)."""
+    return jax.vmap(lambda im: docscan_post_warp(im, config))(warped_batch)
+
+
+# ---------------------------------------------------------------------------
+# host orchestration (the reference process_document contract)
+# ---------------------------------------------------------------------------
+
+def process_document(input_path: str, out_dir: Optional[str] = "outputs",
+                     config: DocScanConfig = DocScanConfig(),
+                     save_stages: bool = True) -> dict:
+    """DocScanner.py:262-365 process_document: returns {quad, warped,
+    binary, stages...}; optionally dumps every stage PNG like the
+    reference (scan_01..scan_08)."""
+    rgb = load_image_rgb(input_path)
+    c = config
+
+    def dump(name, img):
+        if save_stages and out_dir:
+            save_image(os.path.join(out_dir, name), np.asarray(img))
+
+    pre = preprocess(jnp.asarray(rgb), c.bilateral_d, c.bilateral_sigma_color,
+                     c.bilateral_sigma_space, c.gaussian_ksize)
+    dump("scan_01_pre.png", pre)
+
+    quad = localize_document(rgb, c)
+    use_whole = quad is None
+    if quad is not None:
+        ratio = cnt.contour_area(quad) / max(rgb.shape[0] * rgb.shape[1], 1)
+        if ratio < c.min_quad_area_ratio:
+            use_whole = True
+    if use_whole and not c.fallback_use_whole:
+        raise RuntimeError("Quad too small or missing, and fallback disabled.")
+
+    h, w = rgb.shape[:2]
+    if not use_whole and quad is not None:
+        overlay = draw_polyline_overlay(rgb, quad, color=(0, 255, 0))
+    else:
+        full = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]], np.float32)
+        overlay = draw_polyline_overlay(rgb, full, color=(255, 165, 0))
+    dump("scan_02_quad.png", overlay)
+
+    if not use_whole and quad is not None:
+        warped = perspective_warp(rgb, quad, page=c.page, scale_long=c.scale_long)
+    else:
+        warped = geometry.resize_long_side(jnp.asarray(rgb), c.scale_long,
+                                           interpolation="area")
+    dump("scan_03_warped.png", warped)
+
+    stages = docscan_post_warp(warped, c)
+    dump("scan_04_illum.png", stages["illum"])
+    dump("scan_05_stretch.png", stages["stretch"])
+    dump("scan_05a_inkmask.png", stages["inkmask"])
+    dump("scan_06_adapt.png", stages["adapt"])
+    dump("scan_06b_weighted.png", stages["weighted"])
+    dump("scan_07_deskew.png", stages["deskew"])
+    dump("scan_08_clean.png", stages["clean"])
+
+    return {"quad": quad, "warped": warped, "binary": stages["clean"],
+            "use_whole": use_whole, "stages": stages}
