@@ -1,0 +1,132 @@
+"""Benchmark: fused DocScanner post-warp pipeline, megapixels/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
+
+- value: steady-state throughput of tpuimage's fused stages-04-08 program
+  (illumination, stretch, ink mask w/ 2 Otsu solves, adaptive threshold,
+  mask weighting, Hough-deskew, cleanup) on A4@1200 pages, batch 8, on the
+  default JAX device (the TPU chip under the driver).
+- vs_baseline: ratio against the reference's CPU implementation of the
+  same stages (cv2 calls mirroring DocScanner.py:316-346 with the
+  AI_classification.py:645-663 override config), measured in-process.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+BATCH = 8
+WARM = 2
+ITERS = 5
+
+
+def _load_page() -> np.ndarray:
+    """A real 849x1200 A4 page: document1.jpeg resized on host."""
+    from PIL import Image
+    with Image.open("/root/reference/public/DIP test/document1.jpeg") as im:
+        return np.asarray(im.convert("RGB").resize((849, 1200), Image.BILINEAR),
+                          dtype=np.uint8)
+
+
+def bench_tpu(page: np.ndarray) -> float:
+    import jax
+    import jax.numpy as jnp
+    from tpuimage.pipelines import docscan
+
+    cfg = docscan.GUI_DOCUMENT_CONFIG
+    batch = jnp.asarray(np.broadcast_to(page, (BATCH,) + page.shape).copy())
+    # block_until_ready is not a reliable sync on the tunneled axon backend
+    # (returns before execution completes) — use a device->host scalar fetch
+    # as the barrier, and subtract the fetch round-trip measured on a
+    # trivial program.
+    fn = jax.jit(lambda b: docscan.docscan_post_warp_batch(b, cfg)["clean"]
+                 .astype(jnp.int32)[:, ::311, ::311].sum())
+    triv = jax.jit(lambda b: b.astype(jnp.int32)[0, 0, 0, 0])
+    for _ in range(WARM):
+        int(np.asarray(fn(batch)))
+    int(np.asarray(triv(batch)))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        int(np.asarray(triv(batch)))
+    rtt = (time.perf_counter() - t0) / ITERS
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        int(np.asarray(fn(batch)))
+    dt = (time.perf_counter() - t0) / ITERS - rtt
+    dt = max(dt, 1e-9)
+    mp = BATCH * page.shape[0] * page.shape[1] / 1e6
+    return mp / dt
+
+
+def bench_cpu_reference(page: np.ndarray) -> float:
+    """The same stages in cv2 (reference DocScanner.py math, GUI config)."""
+    import cv2
+
+    def run_once(rgb):
+        gray = cv2.cvtColor(rgb[..., ::-1].copy(), cv2.COLOR_BGR2GRAY)
+        h, w = gray.shape
+        base = max(15, int(round(min(h, w) * 0.05)))
+        base += base % 2 == 0
+        bg = cv2.GaussianBlur(gray, (base, base), 0)
+        illum = cv2.normalize(cv2.divide(gray, bg, scale=255), None, 0, 255,
+                              cv2.NORM_MINMAX)
+        stretch = cv2.normalize(illum, None, 0, 255, cv2.NORM_MINMAX)
+        bg2 = cv2.GaussianBlur(stretch, (51, 51), 0)
+        ink = cv2.normalize(cv2.subtract(bg2, stretch), None, 0, 255, cv2.NORM_MINMAX)
+        t, _ = cv2.threshold(ink, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        _, ms = cv2.threshold(ink, max(0, int(round(t - 8))), 255, cv2.THRESH_BINARY)
+        kv = cv2.getStructuringElement(cv2.MORPH_RECT, (9, 19))
+        bh = cv2.normalize(cv2.morphologyEx(stretch, cv2.MORPH_BLACKHAT, kv),
+                           None, 0, 255, cv2.NORM_MINMAX)
+        t2, _ = cv2.threshold(bh, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        _, mb = cv2.threshold(bh, max(0, int(round(t2 - 8))), 255, cv2.THRESH_BINARY)
+        mask = cv2.dilate(cv2.max(ms, mb),
+                          cv2.getStructuringElement(cv2.MORPH_RECT, (2, 2)))
+        ab = cv2.adaptiveThreshold(stretch, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
+                                   cv2.THRESH_BINARY, 31, 3)
+        wt = ab.copy()
+        wt[mask == 0] = 255
+        edges = cv2.Canny(wt, 30, 100)
+        lines = cv2.HoughLines(edges, 1, np.pi / 180, 150)
+        angle = 0.0
+        if lines is not None and len(lines):
+            th = lines.reshape(-1, 2)[:, 1]
+            a = (th * 180.0 / np.pi + 90.0) % 180.0 - 90.0
+            angle = float(np.median(a))
+            if abs(angle) > 10.0:
+                angle = 0.0
+        M = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), angle, 1.0)
+        return cv2.warpAffine(wt, M, (w, h), flags=cv2.INTER_LINEAR,
+                              borderMode=cv2.BORDER_REPLICATE)
+
+    run_once(page)  # warm cv2's thread pool
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        run_once(page)
+    dt = time.perf_counter() - t0
+    return (page.shape[0] * page.shape[1] / 1e6) * n / dt
+
+
+def main():
+    page = _load_page()
+    tpu_mps = bench_tpu(page)
+    try:
+        cpu_mps = bench_cpu_reference(page)
+    except Exception:
+        cpu_mps = float("nan")
+    ratio = tpu_mps / cpu_mps if cpu_mps == cpu_mps else None
+    print(json.dumps({
+        "metric": "fused_docscan_post_warp_throughput",
+        "value": round(tpu_mps, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(ratio, 3) if ratio is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
