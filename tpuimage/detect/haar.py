@@ -1,20 +1,22 @@
-"""Haar cascade object detection (Viola-Jones) as dense TPU evaluation.
+"""Haar cascade object detection (Viola-Jones).
 
 Replaces cv2.CascadeClassifier.detectMultiScale at FaceEnhancement.py:
 177-182 (haarcascade_eye.xml, scale 1.1, minNeighbors 5, minSize 30x30)
 and classification.py:52-57 / AI_classification.py:120-127
 (haarcascade_frontalface_default.xml, scale 1.1, minNeighbors 5,
-minSize 40x40).
+minSize 40x40). Note this image's cv2 build (5.0) has dropped
+CascadeClassifier entirely — this module is the only working detector.
 
-OpenCV's detector walks windows sequentially with per-window early exit —
-TPU-hostile. Here every scale is an image-pyramid level (resize by
-1/factor, like OpenCV's new-style cascade): the integral and
-squared-integral images are cumsums, each Haar feature at ALL window
-positions simultaneously is a fixed linear combination of shifted views
-of the integral image, stage sums are dense adds, and the cascade's
-early-exit becomes a running boolean mask AND-ed per stage (masked dense
-evaluation, SURVEY.md §7 hard part 2). Detected rects then go through the
-same rounding and groupRectangles clustering as OpenCV.
+Evaluation strategy (SURVEY.md §7 hard part 2, fallback milestone):
+per pyramid level the integral images are cumsums and each stage is
+evaluated VECTORIZED over the currently-alive window set (numpy fancy
+indexing over flat integral offsets); the cascade's early exit becomes
+stage-wise compaction of the alive set. Early stages kill >95% of
+windows, so the work profile matches OpenCV's sequential early-exit
+without any per-window Python loop. This runs on host: detection is a
+once-per-image routing step (not benchmark-path work), windows shrink
+dynamically (TPU-hostile shapes), and the arithmetic is integer-exact.
+Rect clustering is the same groupRectangles algorithm as OpenCV.
 
 Cascade XMLs are the stock OpenCV data files (found on this system under
 /usr/share/opencv4/haarcascades); the parser reads the new
@@ -96,64 +98,68 @@ def load_cascade(name: str) -> HaarCascade:
 
 
 # ---------------------------------------------------------------------------
-# dense single-scale evaluation
+# single-scale evaluation: stage-wise alive-set compaction (host numpy)
 # ---------------------------------------------------------------------------
 
-def _integral(img_f32: jnp.ndarray) -> jnp.ndarray:
-    """(H+1, W+1) integral image like cv2.integral."""
-    s = jnp.cumsum(jnp.cumsum(img_f32, axis=0), axis=1)
-    return jnp.pad(s, ((1, 0), (1, 0)))
-
-
-def _rect_sums(ii: jnp.ndarray, x: int, y: int, w: int, h: int,
-               oh: int, ow: int) -> jnp.ndarray:
-    """Sum over rect (x..x+w, y..y+h) for every window origin on the
-    (oh, ow) origin grid — four shifted views of the integral image."""
-    return (ii[y + h:y + h + oh, x + w:x + w + ow]
-            - ii[y:y + oh, x + w:x + w + ow]
-            - ii[y + h:y + h + oh, x:x + ow]
-            + ii[y:y + oh, x:x + ow])
-
-
-@functools.partial(jax.jit, static_argnames=("cascade_key",))
-def _eval_scale(gray_scaled: jnp.ndarray, cascade_key: str) -> jnp.ndarray:
-    """Evaluate the cascade at every window origin of one pyramid level.
-    Returns a boolean (oh, ow) pass map."""
-    casc = load_cascade(cascade_key)
+def _eval_scale(gray_scaled: np.ndarray, casc: HaarCascade,
+                step: int) -> np.ndarray:
+    """Evaluate the cascade at every ``step``-strided window origin of one
+    pyramid level. Returns (K, 2) surviving (y, x) origins."""
     wh, ww = casc.win_h, casc.win_w
     H, W = gray_scaled.shape
     oh, ow = H - wh + 1, W - ww + 1
+    if oh <= 0 or ow <= 0:
+        return np.zeros((0, 2), dtype=np.int64)
 
-    x = gray_scaled.astype(jnp.float32)
-    ii = _integral(x)
-    sq = _integral(x * x)
+    x = gray_scaled.astype(np.float64)
+    ii = np.zeros((H + 1, W + 1), dtype=np.float64)
+    sq = np.zeros((H + 1, W + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(x, 0), 1, out=ii[1:, 1:])
+    np.cumsum(np.cumsum(x * x, 0), 1, out=sq[1:, 1:])
+    iif = ii.ravel()
+    sqf = sq.ravel()
+    stride = W + 1
 
-    # variance normalization over normrect = (1, 1, w-2, h-2) like OpenCV's
-    # HaarEvaluator
-    nx, ny, nw, nh = 1, 1, ww - 2, wh - 2
-    area = float(nw * nh)
-    vsum = _rect_sums(ii, nx, ny, nw, nh, oh, ow)
-    vsq = _rect_sums(sq, nx, ny, nw, nh, oh, ow)
-    nf2 = area * vsq - vsum * vsum
-    nf = jnp.sqrt(jnp.maximum(nf2, 0.0))
-    valid_var = nf2 > 0.0
-    nf = jnp.where(valid_var, nf, 1.0)
+    oy, ox = np.mgrid[0:oh:step, 0:ow:step]
+    base = (oy * stride + ox).ravel()          # flat offset of each origin
 
-    passed = valid_var
+    def rect_sum(flat, off, rx, ry, rw, rh):
+        o = off + ry * stride + rx
+        return (flat[o + rh * stride + rw] - flat[o + rw]
+                - flat[o + rh * stride] + flat[o])
+
+    # variance normalization over normrect (1,1,w-2,h-2) like HaarEvaluator
+    nw_, nh_ = ww - 2, wh - 2
+    area = float(nw_ * nh_)
+    vsum = rect_sum(iif, base, 1, 1, nw_, nh_)
+    vsq = rect_sum(sqf, base, 1, 1, nw_, nh_)
+    mean = vsum / area
+    nf2 = vsq * area - vsum * vsum
+    nf = np.sqrt(np.maximum(nf2, 0.0))
+    alive_mask = nf2 > 0
+    alive = base[alive_mask]
+    nf_a = nf[alive_mask]
+
+    R = casc.rects  # (F, 3, 5)
     for (s0, s1), sthr in zip(casc.stage_slices, casc.stage_thresholds):
-        ssum = jnp.zeros((oh, ow), dtype=jnp.float32)
+        if len(alive) == 0:
+            break
+        ssum = np.zeros(len(alive), dtype=np.float64)
         for wci in range(s0, s1):
             fi = int(casc.feat_idx[wci])
-            val = jnp.zeros((oh, ow), dtype=jnp.float32)
-            for (rx, ry, rw, rh, wt) in casc.rects[fi]:
+            val = np.zeros(len(alive), dtype=np.float64)
+            for (rx, ry, rw, rh, wt) in R[fi]:
                 if wt == 0.0:
                     continue
-                val = val + wt * _rect_sums(ii, int(rx), int(ry), int(rw), int(rh), oh, ow)
-            thr = casc.node_thr[wci] * nf
-            lo, hi = float(casc.leaves[wci, 0]), float(casc.leaves[wci, 1])
-            ssum = ssum + jnp.where(val < thr, lo, hi)
-        passed = passed & (ssum >= float(sthr))
-    return passed
+                val += wt * rect_sum(iif, alive, int(rx), int(ry), int(rw), int(rh))
+            ssum += np.where(val < casc.node_thr[wci] * nf_a,
+                             casc.leaves[wci, 0], casc.leaves[wci, 1])
+        keep = ssum >= sthr
+        alive = alive[keep]
+        nf_a = nf_a[keep]
+
+    ys, xs = alive // stride, alive % stride
+    return np.stack([ys, xs], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +226,19 @@ def _group_rectangles(rects: List[Tuple[int, int, int, int]], group_threshold: i
     return out
 
 
+def _resize_linear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """cv2.resize INTER_LINEAR on uint8 gray, host numpy (Q11 fixed point —
+    same math as tpuimage.ops.geometry._resize_linear_u8)."""
+    from tpuimage.ops.geometry import _linear_coeffs_1d
+    h, w = img.shape
+    sy, wy1, wy2 = _linear_coeffs_1d(out_h, h)
+    sx, wx1, wx2 = _linear_coeffs_1d(out_w, w)
+    x = img.astype(np.float32)
+    row = x[:, sx] * wx1 + x[:, np.minimum(sx + 1, w - 1)] * wx2
+    acc = row[sy] * wy1[:, None] + row[np.minimum(sy + 1, h - 1)] * wy2[:, None]
+    return np.clip(np.floor((acc + 2.0 ** 21) / 2.0 ** 22), 0, 255).astype(np.uint8)
+
+
 def detect_multi_scale(gray: np.ndarray, cascade_name: str,
                        scale_factor: float = 1.1, min_neighbors: int = 5,
                        min_size: Tuple[int, int] = (0, 0),
@@ -230,8 +249,8 @@ def detect_multi_scale(gray: np.ndarray, cascade_name: str,
     Returns a list of (x, y, w, h) like the reference call sites expect.
     """
     casc = load_cascade(cascade_name)
+    gray = np.asarray(gray)
     H, W = gray.shape
-    gray_j = jnp.asarray(gray)
 
     candidates: List[Tuple[int, int, int, int]] = []
     factor = 1.0
@@ -246,11 +265,9 @@ def detect_multi_scale(gray: np.ndarray, cascade_name: str,
         if win_w < min_size[0] or win_h < min_size[1]:
             factor *= scale_factor
             continue
-        scaled = resize(gray_j, sh, sw, "linear")
-        passed = np.asarray(_eval_scale(scaled, cascade_name))
+        scaled = _resize_linear_np(gray, sh, sw)
         step = 1 if factor > 2.0 else 2
-        ys, xs = np.nonzero(passed[::step, ::step])
-        for y, x in zip(ys * step, xs * step):
+        for y, x in _eval_scale(scaled, casc, step):
             candidates.append((int(round(x * factor)), int(round(y * factor)),
                                win_w, win_h))
         factor *= scale_factor

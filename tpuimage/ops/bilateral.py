@@ -65,20 +65,31 @@ def bilateral_filter(img: jnp.ndarray, d: int, sigma_color: float,
 
     h, w = img.shape[0], img.shape[1]
     p = pad2d(img, radius, radius, radius, radius, mode=BORDER_REFLECT_101)
-    center_f = f32(img)
     center_i = i32(img)
 
-    num = jnp.zeros(img.shape, dtype=jnp.float32)
-    den = jnp.zeros((h, w), dtype=jnp.float32)
-    for (dy, dx, r) in taps:
-        view = lax.slice_in_dim(lax.slice_in_dim(p, radius + dy, radius + dy + h, axis=0),
-                                radius + dx, radius + dx + w, axis=1)
-        sw = float(np.float32(np.exp(r * r * gauss_space)))
+    # scan over the tap set instead of unrolling (d=-1 call sites reach
+    # radius 15 -> ~700 taps; unrolled graphs took minutes to compile).
+    tap_off = np.asarray([(radius + dy, radius + dx) for (dy, dx, _) in taps],
+                         dtype=np.int32)
+    tap_sw = np.asarray([np.float32(np.exp(r * r * gauss_space)) for (_, _, r) in taps],
+                        dtype=np.float32)
+    slice_sizes = (h, w) + img.shape[2:]
+
+    def body(carry, tap):
+        num, den = carry
+        off, sw = tap
+        starts = (off[0], off[1]) + (0,) * (img.ndim - 2)
+        view = lax.dynamic_slice(p, starts, slice_sizes)
         diff = jnp.abs(i32(view) - center_i)
         if color:
             diff = diff.sum(axis=-1)
         wgt = lut_j[diff] * sw
-        den = den + wgt
-        num = num + (f32(view) * (wgt[..., None] if color else wgt))
+        num = num + f32(view) * (wgt[..., None] if color else wgt)
+        return (num, den + wgt), None
+
+    num0 = jnp.zeros(img.shape, dtype=jnp.float32)
+    den0 = jnp.zeros((h, w), dtype=jnp.float32)
+    (num, den), _ = lax.scan(body, (num0, den0),
+                             (jnp.asarray(tap_off), jnp.asarray(tap_sw)))
     out = num / (den[..., None] if color else den)
     return saturate_u8(out)

@@ -53,20 +53,28 @@ def nlm_denoise(img: jnp.ndarray, h: float, template_size: int = 7,
 
     p = pad2d(x, sr, sr, sr, sr, mode=BORDER_REFLECT_101)
 
-    num = jnp.zeros(x.shape, dtype=jnp.float32)
-    den = jnp.zeros((hh, ww), dtype=jnp.float32)
-    for dy in range(-sr, sr + 1):
-        for dx in range(-sr, sr + 1):
-            view = lax.slice_in_dim(
-                lax.slice_in_dim(p, sr + dy, sr + dy + hh, axis=0),
-                sr + dx, sr + dx + ww, axis=1)
-            d2 = (x - view) ** 2
-            ssd = _box_sum_same(d2, template_size)
-            if img.ndim == 3:
-                ssd = ssd.sum(axis=-1)
-            wgt = jnp.exp(-jnp.maximum(ssd - bias, 0.0) * inv)
-            den = den + wgt
-            num = num + view * (wgt[..., None] if img.ndim == 3 else wgt)
+    # scan over the 441 search offsets instead of unrolling (compile-time
+    # control; the body is the same separable SSD + weighted accumulate).
+    offs = np.asarray([(sr + dy, sr + dx)
+                       for dy in range(-sr, sr + 1)
+                       for dx in range(-sr, sr + 1)], dtype=np.int32)
+    slice_sizes = (hh, ww) + x.shape[2:]
+
+    def body(carry, off):
+        num, den = carry
+        starts = (off[0], off[1]) + (0,) * (x.ndim - 2)
+        view = lax.dynamic_slice(p, starts, slice_sizes)
+        d2 = (x - view) ** 2
+        ssd = _box_sum_same(d2, template_size)
+        if img.ndim == 3:
+            ssd = ssd.sum(axis=-1)
+        wgt = jnp.exp(-jnp.maximum(ssd - bias, 0.0) * inv)
+        num = num + view * (wgt[..., None] if img.ndim == 3 else wgt)
+        return (num, den + wgt), None
+
+    num0 = jnp.zeros(x.shape, dtype=jnp.float32)
+    den0 = jnp.zeros((hh, ww), dtype=jnp.float32)
+    (num, den), _ = lax.scan(body, (num0, den0), jnp.asarray(offs))
     out = num / (den[..., None] if img.ndim == 3 else den)
     return saturate_u8(out)
 
