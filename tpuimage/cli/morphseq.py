@@ -1,0 +1,24 @@
+"""morph_seq CLI — mirrors the recovered pyc's argparse interface:
+``python -m tpuimage.cli.morphseq <input> --out outputs``."""
+from __future__ import annotations
+
+import argparse
+
+from tpuimage.pipelines.morphseq import process_morph_seq
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        description="4-step document morphology pipeline (ksize=3)")
+    p.add_argument("input")
+    p.add_argument("--out", default="outputs")
+    p.add_argument("--no-intermediate", dest="save_intermediate",
+                   action="store_false", default=True)
+    args = p.parse_args(argv)
+    process_morph_seq(args.input, out_dir=args.out,
+                      save_intermediate=args.save_intermediate)
+    print(f"Done. Outputs in {args.out}")
+
+
+if __name__ == "__main__":
+    main()
