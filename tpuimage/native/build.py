@@ -1,0 +1,55 @@
+"""Lazy g++ build + ctypes loader for the native components."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "contours.cpp")
+_SO = os.path.join(_DIR, "libtpuimage_native.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _build() -> bool:
+    try:
+        if (os.path.exists(_SO)
+                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            return True
+        r = subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+            capture_output=True, timeout=120)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Return the loaded library, building it if needed; None on failure
+    (consumers fall back to pure Python)."""
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not _build():
+            _failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            fn = lib.tpuimage_trace_contours
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ]
+            _lib = lib
+        except Exception:
+            _failed = True
+    return _lib
