@@ -104,6 +104,39 @@ class TestNLM:
         assert err_after < err_cv * 1.2
 
 
+class TestHough:
+    def test_accumulator_matches_scatter_reference(self, rng):
+        from tpuimage.ops.hough import hough_accumulator
+        import jax.numpy as jnp
+        edges = (rng.random((120, 160)) < 0.05).astype(np.uint8) * 255
+        acc = np.asarray(hough_accumulator(jnp.asarray(edges)))
+        h, w = edges.shape
+        numrho = int(round((w + h) * 2 + 1))
+        thetas = np.arange(180) * np.pi / 180
+        ys, xs = np.nonzero(edges)
+        ref = np.zeros((numrho, 180), np.int64)
+        for t, (c, s) in enumerate(zip(np.cos(thetas), np.sin(thetas))):
+            r = np.rint((xs.astype(np.float32) * np.float32(c)
+                         + ys.astype(np.float32) * np.float32(s))
+                        .astype(np.float32)).astype(int) + (numrho - 1) // 2
+            np.add.at(ref[:, t], r, 1)
+        assert acc.sum() == ref.sum() == 180 * len(xs)
+        d = np.abs(ref - acc)
+        # FMA contraction flips the odd .5-boundary pixel by one rho bin
+        assert d.max() <= 1 and (d > 0).sum() < 20
+
+    def test_detects_strong_line(self):
+        from tpuimage.ops.hough import hough_lines
+        import jax.numpy as jnp
+        edges = np.zeros((100, 100), np.uint8)
+        edges[50, :] = 255  # horizontal line: rho=50, theta=90deg
+        lines, valid = hough_lines(jnp.asarray(edges), threshold=80)
+        lines = np.asarray(lines)[np.asarray(valid)]
+        assert len(lines) >= 1
+        rho, theta = lines[0]
+        assert abs(rho - 50) <= 1 and abs(theta - np.pi / 2) < 0.02
+
+
 class TestMetrics:
     def test_psnr_matches_cv2(self, rng):
         a = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)

@@ -71,25 +71,38 @@ def gaussian_kernel_q8(ksize: int, sigma: float = 0.0) -> np.ndarray:
 def _sepconv_valid_f32(padded: jnp.ndarray, kx: jnp.ndarray, ky: jnp.ndarray) -> jnp.ndarray:
     """Separable 'valid' convolution of an already-padded HW/HWC f32 array.
 
-    Uses conv_general_dilated so XLA can tile it onto the TPU; channels go
-    through the batch dimension (feature_group trick not needed for depthwise
-    single-tap-per-channel separable filters).
+    Implemented as unrolled shifted multiply-adds on the VPU: a 1-channel
+    spatial conv lowers to an MXU matmul with 1x1 feature dims (measured
+    ~38 ms for a 59-tap blur of a 1 MP image — <1% MXU utilization), while
+    k shifted fused MACs on the VPU run in ~1 ms. Accumulation order is
+    tap 0..k-1, left-to-right; the 8u gaussian path keeps integer-valued
+    f32 accumulators (< 2^24) so order cannot change its results.
     """
-    squeeze = padded.ndim == 2
-    if squeeze:
-        padded = padded[..., None]
-    x = jnp.moveaxis(padded, -1, 0)[..., None]  # (C, H, W, 1)
-    kyv = ky.reshape(-1, 1, 1, 1).astype(jnp.float32)   # (kh, 1, 1, 1)
-    kxv = kx.reshape(1, -1, 1, 1).astype(jnp.float32)   # (1, kw, 1, 1)
-    dn = lax.conv_dimension_numbers(x.shape, kyv.shape, ("NHWC", "HWIO", "NHWC"))
-    # HIGHEST precision: the integer-exact-in-f32 trick requires true f32
-    # MACs; the TPU MXU's default bf16 passes would break bit-exactness.
-    x = lax.conv_general_dilated(x, kyv, (1, 1), "VALID", dimension_numbers=dn,
-                                 precision=lax.Precision.HIGHEST)
-    x = lax.conv_general_dilated(x, kxv, (1, 1), "VALID", dimension_numbers=dn,
-                                 precision=lax.Precision.HIGHEST)
-    out = jnp.moveaxis(x[..., 0], 0, -1)
-    return out[..., 0] if squeeze else out
+    kyv = np.asarray(ky, dtype=np.float32).ravel()
+    kxv = np.asarray(kx, dtype=np.float32).ravel()
+
+    def one_axis(x, k, axis):
+        n = len(k)
+        out = x.shape[axis] - n + 1
+        sl = lambda i: lax.slice_in_dim(x, i, i + out, axis=axis)
+        sym = n % 2 == 1 and bool(np.all(k == k[::-1]))
+        if sym:
+            # OpenCV's symmetric row/column filter order:
+            # k[r]*x[0] + sum_i k[r+i]*(x[+i] + x[-i]) — matching it keeps
+            # the f32 rounding sequence identical for the float paths
+            # (adaptiveThreshold's CV_32F blur).
+            r = n // 2
+            acc = sl(r) * float(k[r])
+            for i in range(1, r + 1):
+                acc = acc + (sl(r - i) + sl(r + i)) * float(k[r + i])
+            return acc
+        acc = None
+        for i in range(n):
+            term = sl(i) * float(k[i])
+            acc = term if acc is None else acc + term
+        return acc
+
+    return one_axis(one_axis(padded, kyv, 0), kxv, 1)
 
 
 def gaussian_blur_u8(img: jnp.ndarray, ksize: int = 0, sigma: float = 0.0,
@@ -105,8 +118,7 @@ def gaussian_blur_u8(img: jnp.ndarray, ksize: int = 0, sigma: float = 0.0,
         ksize = gaussian_ksize_from_sigma(sigma)
     if ksize == 1:
         return img
-    q = gaussian_kernel_q8(ksize, sigma)
-    k = jnp.asarray(q, dtype=jnp.float32)
+    k = gaussian_kernel_q8(ksize, sigma).astype(np.float32)
     r = ksize // 2
     p = pad2d(f32(img), r, r, r, r, mode=border)
     out32 = _sepconv_valid_f32(p, k, k)  # exact integers in f32, Q16.16
@@ -123,7 +135,7 @@ def gaussian_blur_f32(img: jnp.ndarray, ksize: int = 0, sigma: float = 0.0,
         ksize = gaussian_ksize_from_sigma(sigma, depth_8u=False)
     if ksize == 1:
         return img
-    k = jnp.asarray(get_gaussian_kernel(ksize, sigma), dtype=jnp.float32)
+    k = get_gaussian_kernel(ksize, sigma).astype(np.float32)
     r = ksize // 2
     p = pad2d(f32(img), r, r, r, r, mode=border)
     return _sepconv_valid_f32(p, k, k)
@@ -138,7 +150,7 @@ def box_filter_u8(img: jnp.ndarray, ksize: int,
     """
     r = ksize // 2
     p = pad2d(f32(img), r, ksize - 1 - r, r, ksize - 1 - r, mode=border)
-    ones = jnp.ones(ksize, dtype=jnp.float32)
+    ones = np.ones(ksize, dtype=np.float32)
     s = _sepconv_valid_f32(p, ones, ones)
     return saturate_u8(s * (1.0 / (ksize * ksize)))
 

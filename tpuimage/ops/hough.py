@@ -9,10 +9,21 @@ image-clipped segments. Its only uses in the reference are (a) counting
 lines for a document score and (b) re-drawing lines over the edge map to
 close contour gaps — both served by the deterministic form.
 
-Design: instead of per-pixel scatter into (rho, theta) bins (OpenCV's
-sequential loop), we scan over theta bins; each step computes the rho
-index image and bincounts the masked pixels (segment-sum) — dense,
-static-shaped, vmappable.
+Design (TPU-native, MXU-formulated): OpenCV's per-pixel scatter into
+(rho, theta) bins is pathological on TPU (measured 1.6 s/megapixel-image —
+scatter serializes). Instead:
+
+1. compact the sparse edge set to a static-size coordinate list with
+   ``top_k`` (edge maps here are 2-13%% dense);
+2. per theta, decompose the rho index as ``r = hi*64 + lo`` and compute
+   the 2-D histogram as a matmul of the two one-hot factors:
+   ``votes[hi, lo] = onehot_hi^T @ onehot_lo`` — bf16 0/1 inputs with f32
+   accumulation on the MXU give EXACT integer counts (< 2^24);
+3. scan over the 180 theta bins.
+
+~98 GMACs total for 131072 edges — milliseconds on the MXU vs seconds of
+scatter, with vote counts identical to the scatter formulation for edge
+sets within the compaction budget.
 """
 from __future__ import annotations
 
@@ -26,30 +37,51 @@ from jax import lax
 from tpuimage.core.dtypes import f32, i32
 
 
-@functools.partial(jax.jit, static_argnames=("rho", "theta_bins",))
+_LO_BINS = 64
+
+
+@functools.partial(jax.jit, static_argnames=("rho", "theta_bins", "max_edges"))
 def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
-                      theta_bins: int = 180) -> jnp.ndarray:
+                      theta_bins: int = 180,
+                      max_edges: int = 131072) -> jnp.ndarray:
     """(numrho, numtheta) vote accumulator, same binning as cv2.HoughLines
-    with theta = pi/theta_bins: r = round((x cos t + y sin t)/rho) + (nr-1)/2."""
+    with theta = pi/theta_bins: r = round((x cos t + y sin t)/rho) + (nr-1)/2.
+
+    Edge pixels beyond ``max_edges`` (12.8%% of a 1 MP image) are dropped —
+    generous for Canny maps (2-7%% typical); raise it for denser inputs.
+    """
     h, w = edges.shape
     numrho = int(round(((w + h) * 2 + 1) / rho))
+    n_hi = (numrho + _LO_BINS - 1) // _LO_BINS + 1  # +1 spare for invalid bin
+    k = min(max_edges, h * w)
+
     thetas = np.arange(theta_bins) * (np.pi / theta_bins)
     cos_t = jnp.asarray(np.cos(thetas) / rho, dtype=jnp.float32)
     sin_t = jnp.asarray(np.sin(thetas) / rho, dtype=jnp.float32)
 
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    mask = (edges != 0)
-    xs_m = xs.reshape(-1)
-    ys_m = ys.reshape(-1)
-    mm = mask.reshape(-1)
+    # --- compact the edge set to k (x, y) coordinates ---
+    flat = edges.reshape(-1).astype(jnp.int32)
+    vals, idx = lax.top_k(flat, k)
+    valid = vals > 0
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+
+    hi_iota = jnp.arange(n_hi, dtype=jnp.int32)
+    lo_iota = jnp.arange(_LO_BINS, dtype=jnp.int32)
+    invalid_bin = n_hi * _LO_BINS - 1  # lands in the spare hi row
 
     def one_theta(carry, ct_st):
         ct, st = ct_st
-        r = jnp.round(xs_m * ct + ys_m * st).astype(jnp.int32) + (numrho - 1) // 2
-        r = jnp.where(mm, r, numrho)  # overflow bin for non-edges
-        counts = jnp.zeros(numrho + 1, jnp.int32).at[r].add(1)
-        return carry, counts[:numrho]
+        r = jnp.round(xs * ct + ys * st).astype(jnp.int32) + (numrho - 1) // 2
+        r = jnp.where(valid, r, invalid_bin)
+        hi = r // _LO_BINS
+        lo = r % _LO_BINS
+        # exact integer counts via bf16 0/1 matmul with f32 accumulation
+        oh_hi = (hi[:, None] == hi_iota[None, :]).astype(jnp.bfloat16)
+        oh_lo = (lo[:, None] == lo_iota[None, :]).astype(jnp.bfloat16)
+        votes2d = jnp.matmul(oh_hi.T, oh_lo,
+                             preferred_element_type=jnp.float32)
+        return carry, votes2d.reshape(-1)[:numrho].astype(jnp.int32)
 
     _, acc = lax.scan(one_theta, None, (cos_t, sin_t))
     return acc.T  # (numrho, theta_bins)
