@@ -117,6 +117,27 @@ class TestRestoreOps:
         assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 1
 
 
+class TestDocRestore:
+    def test_process_image_outputs(self, tmp_path):
+        from tpuimage.pipelines import docrestore
+        r = docrestore.process_image("/root/reference/public/DIP test/document1.jpeg",
+                                     str(tmp_path), max_dim=600)
+        assert set(r) == {"basename", "psnr", "ssim"}
+        import os
+        assert os.path.exists(tmp_path / "final" / "document1_final.png")
+        assert os.path.exists(tmp_path / "segmented" / "document1_seg.png")
+
+    def test_main_process_writes_csv(self, tmp_path):
+        from tpuimage.pipelines import docrestore
+        import shutil, csv
+        src = tmp_path / "in"
+        src.mkdir()
+        shutil.copy("/root/reference/public/sample.jpg", src / "a.jpg")
+        p = docrestore.main_process(str(src), str(tmp_path / "out"))
+        rows = list(csv.DictReader(open(p)))
+        assert len(rows) == 1 and rows[0]["basename"] == "a"
+
+
 class TestModules:
     def test_module1_matches_cv2(self, scene):
         ours = np.asarray(modules.module1_enhance(jnp.asarray(scene)))

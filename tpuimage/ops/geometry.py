@@ -21,6 +21,7 @@ INTER_AREA with integer scale; INTER_CUBIC matches within +-1 LSB.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tpuimage.core.dtypes import saturate_u8, f32, i32
@@ -230,10 +231,14 @@ def _bilinear_gather_u8(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    # flatten to 1-D gathers — XLA TPU lowers a single-dim gather far
+    # better than the 2-D advanced-indexing form
+    flat = img.reshape((h * w,) + img.shape[2:])
+
     def tap(yi, xi):
         yc = jnp.clip(yi, 0, h - 1)
         xc = jnp.clip(xi, 0, w - 1)
-        v = f32(img[yc, xc])
+        v = f32(jnp.take(flat, yc * w + xc, axis=0))
         if border == "replicate":
             return v
         inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
@@ -301,17 +306,24 @@ def rotate_traced(img: jnp.ndarray, angle_deg: jnp.ndarray,
     """
     h, w = int(img.shape[0]), int(img.shape[1])
     cx, cy = w / 2.0, h / 2.0
-    a = jnp.deg2rad(f32(angle_deg))
-    ca, sa = jnp.cos(a), jnp.sin(a)
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    xr = xs - cx
-    yr = ys - cy
-    # forward M (cv2 convention, y-down): [cos, sin; -sin, cos] — the
-    # inverse applied to dst coords is [cos, -sin; sin, cos].
-    sx = ca * xr - sa * yr + cx
-    sy = sa * xr + ca * yr + cy
-    return _bilinear_gather_u8(img, sx, sy, border=border)
+
+    def do_rotate(im):
+        a = jnp.deg2rad(f32(angle_deg))
+        ca, sa = jnp.cos(a), jnp.sin(a)
+        ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        xr = xs - cx
+        yr = ys - cy
+        # forward M (cv2 convention, y-down): [cos, sin; -sin, cos] — the
+        # inverse applied to dst coords is [cos, -sin; sin, cos].
+        sx = ca * xr - sa * yr + cx
+        sy = sa * xr + ca * yr + cy
+        return _bilinear_gather_u8(im, sx, sy, border=border)
+
+    # angle==0 is an exact identity (bilinear with fx=fy=0 copies pixels);
+    # it is also the common deskew outcome, so skip the gather entirely.
+    return jax.lax.cond(jnp.asarray(angle_deg) == 0.0,
+                        lambda im: im, do_rotate, img)
 
 
 def rotate(img: jnp.ndarray, angle_deg: float, scale: float = 1.0,
