@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-fallback-use-whole", dest="fallback_use_whole",
                    action="store_false", default=True)
     p.add_argument("--min-quad-area-ratio", type=float, default=0.15)
+    p.add_argument("--ocr", action="store_true",
+                   help="run OCR on the final binary (needs pytesseract)")
     p.add_argument("--gui-preset", action="store_true",
                    help="use the AI_classification override config that "
                         "produced the scan_03..08 goldens")
@@ -69,7 +71,8 @@ def main(argv=None) -> None:
             max_rotate=args.max_rotate,
             fallback_use_whole=args.fallback_use_whole,
             min_quad_area_ratio=args.min_quad_area_ratio)
-    docscan.process_document(args.input, out_dir=args.out, config=cfg)
+    docscan.process_document(args.input, out_dir=args.out, config=cfg,
+                             do_ocr=args.ocr)
     print(f"Done. Outputs in {args.out}")
 
 

@@ -307,7 +307,7 @@ def docscan_post_warp_batch(warped_batch: jnp.ndarray, config: DocScanConfig):
 
 def process_document(input_path: str, out_dir: Optional[str] = "outputs",
                      config: DocScanConfig = DocScanConfig(),
-                     save_stages: bool = True) -> dict:
+                     save_stages: bool = True, do_ocr: bool = False) -> dict:
     """DocScanner.py:262-365 process_document: returns {quad, warped,
     binary, stages...}; optionally dumps every stage PNG like the
     reference (scan_01..scan_08)."""
@@ -355,5 +355,20 @@ def process_document(input_path: str, out_dir: Optional[str] = "outputs",
     dump("scan_07_deskew.png", stages["deskew"])
     dump("scan_08_clean.png", stages["clean"])
 
-    return {"quad": quad, "warped": warped, "binary": stages["clean"],
-            "use_whole": use_whole, "stages": stages}
+    result = {"quad": quad, "warped": warped, "binary": stages["clean"],
+              "use_whole": use_whole, "stages": stages}
+
+    if do_ocr:
+        # optional host OCR behind the same flag as DocScanner.py:354-363
+        try:
+            import pytesseract
+            text = pytesseract.image_to_string(np.asarray(stages["clean"]),
+                                               config="--psm 6")
+            if out_dir:
+                with open(os.path.join(out_dir, "scan_ocr.txt"), "w",
+                          encoding="utf-8") as f:
+                    f.write(text)
+            result["ocr_text"] = text
+        except Exception as e:
+            result["ocr_error"] = str(e)
+    return result
