@@ -132,7 +132,10 @@ def auto_perspective_correction(rgb: np.ndarray) -> np.ndarray:
                 continue
             dst = np.array([[0, 0], [mw - 1, 0], [mw - 1, mh - 1], [0, mh - 1]],
                            np.float32)
-            M = geometry.get_perspective_transform(rect, dst)
+            try:
+                M = geometry.get_perspective_transform(rect, dst)
+            except np.linalg.LinAlgError:
+                continue  # degenerate quad (repeated/collinear corners)
             return np.asarray(geometry.warp_perspective(jnp.asarray(rgb), M, mh, mw))
     return rgb
 
