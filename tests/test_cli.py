@@ -1,0 +1,59 @@
+"""CLI entry-point smoke tests (tiny synthetic inputs, CPU mesh)."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture()
+def tiny_image(tmp_path, rng):
+    img = rng.integers(0, 256, size=(96, 80, 3), dtype=np.uint8)
+    p = tmp_path / "img.png"
+    Image.fromarray(img).save(p)
+    return str(p)
+
+
+class TestCLIs:
+    def test_morphseq(self, tiny_image, tmp_path):
+        from tpuimage.cli import morphseq
+        out = tmp_path / "m"
+        morphseq.main([tiny_image, "--out", str(out)])
+        assert (out / "morphseq_closed.png").exists()
+        assert (out / "morphseq_01_gray.png").exists()
+
+    def test_night(self, tiny_image, tmp_path):
+        from tpuimage.cli import night
+        out = tmp_path / "n"
+        night.main([tiny_image, "--out", str(out), "--mode", "gray",
+                    "--histograms"])
+        assert (out / "night_enhanced.png").exists()
+        assert (out / "night_enhanced_hist.csv").exists()
+
+    def test_landscape(self, tiny_image, tmp_path):
+        from tpuimage.cli import landscape
+        out = tmp_path / "l"
+        landscape.main([tiny_image, "--out", str(out)])
+        assert (out / "landscape_metrics.csv").exists()
+
+    def test_face_no_eyes(self, tiny_image, tmp_path):
+        from tpuimage.cli import face
+        out = tmp_path / "f"
+        face.main([tiny_image, "--out", str(out), "--no-eyes",
+                   "--noise-type", "impulse"])
+        assert (out / "enhanced_face.jpg").exists()
+
+    def test_docscan(self, tiny_image, tmp_path):
+        from tpuimage.cli import docscan as cli_docscan
+        out = tmp_path / "d"
+        cli_docscan.main([tiny_image, "--out", str(out), "--scale-long", "96",
+                          "--mask-blur-ksize", "15", "--block-size", "15"])
+        assert (out / "scan_08_clean.png").exists()
+        assert (out / "scan_02_quad.png").exists()
+
+    def test_classify(self, tiny_image, tmp_path):
+        from tpuimage.cli import classify
+        out = tmp_path / "c"
+        classify.main([tiny_image, "--out", str(out), "--classifier", "weighted"])
+        files = os.listdir(out)
+        assert any(f.endswith("_enhanced.png") for f in files)
