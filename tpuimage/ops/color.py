@@ -101,15 +101,16 @@ _SDIV_TAB, _HDIV_TAB = _hsv_tables()
 
 
 def rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
+    from tpuimage.ops.lut import lut_lookup
     r, g, b = i32(img[..., 0]), i32(img[..., 1]), i32(img[..., 2])
     v = jnp.maximum(jnp.maximum(r, g), b)
     vmin = jnp.minimum(jnp.minimum(r, g), b)
     diff = v - vmin
-    s = (diff * _SDIV_TAB[v] + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    s = (diff * lut_lookup(_SDIV_TAB, v) + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
     h_raw = jnp.where(
         v == r, g - b,
         jnp.where(v == g, (b - r) + 2 * diff, (r - g) + 4 * diff))
-    h = (h_raw * _HDIV_TAB[diff] + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    h = (h_raw * lut_lookup(_HDIV_TAB, diff) + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
     h = jnp.where(h < 0, h + 180, h)
     return jnp.stack([h, s, v], axis=-1).astype(jnp.uint8)
 
@@ -136,11 +137,14 @@ def hsv_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
     # b index: 1        1        3        0        0        2
     # g index: 3        0        0        2        1        1
     # r index: 0        2        1        1        3        0
-    tabs = jnp.stack([tab0, tab1, tab2, tab3], axis=0)
+    tabs = [tab0, tab1, tab2, tab3]
 
     def pick(idx_per_sector):
-        idx = jnp.asarray(idx_per_sector, dtype=jnp.int32)[sector]
-        return jnp.take_along_axis(tabs, idx[None], axis=0)[0]
+        # 6-way select chain (per-pixel table gathers are slow on TPU)
+        out = tabs[idx_per_sector[0]]
+        for k in range(1, 6):
+            out = jnp.where(sector == k, tabs[idx_per_sector[k]], out)
+        return out
 
     b = pick([1, 1, 3, 0, 0, 2])
     g = pick([3, 0, 0, 2, 1, 1])
@@ -194,15 +198,16 @@ _CBRT_N = int(_CBRT_TAB.shape[0])
 
 
 def rgb_to_lab(img: jnp.ndarray) -> jnp.ndarray:
-    r = _GAMMA_TAB[i32(img[..., 0])]
-    g = _GAMMA_TAB[i32(img[..., 1])]
-    b = _GAMMA_TAB[i32(img[..., 2])]
+    from tpuimage.ops.lut import lut_lookup
+    r = lut_lookup(_GAMMA_TAB, i32(img[..., 0]))
+    g = lut_lookup(_GAMMA_TAB, i32(img[..., 1]))
+    b = lut_lookup(_GAMMA_TAB, i32(img[..., 2]))
     C = _LAB_COEFFS
 
     def fchan(row):
         idx = descale(r * int(C[row, 0]) + g * int(C[row, 1]) + b * int(C[row, 2]),
                       _LAB_SHIFT)
-        return _CBRT_TAB[jnp.clip(idx, 0, _CBRT_N - 1)]
+        return lut_lookup(_CBRT_TAB, jnp.clip(idx, 0, _CBRT_N - 1))
 
     fX, fY, fZ = fchan(0), fchan(1), fchan(2)
     Lscale = (116 * 255 + 50) // 100               # 296
