@@ -30,7 +30,11 @@ def hist256(gray: jnp.ndarray) -> jnp.ndarray:
     MXU formulation: decompose the bin index as hi*64+lo and compute the
     2-D histogram as onehot_hi^T @ onehot_lo — bf16 0/1 factors with f32
     accumulation give exact integer counts (scatter-add histograms measured
-    ~40 ms/megapixel on TPU; this runs in ~1 ms)."""
+    ~40 ms/megapixel on TPU; this runs in ~1 ms). CPU keeps scatter-add
+    (fast there; counts identical)."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return jnp.zeros(256, jnp.int32).at[i32(gray).reshape(-1)].add(1)
     v = i32(gray).reshape(-1)
     hi = v >> 6
     lo = v & 63
@@ -91,6 +95,10 @@ def equalize_hist(gray: jnp.ndarray) -> jnp.ndarray:
 def _clahe_tile_luts(tiles: jnp.ndarray, clip_limit: float, tile_area: int) -> jnp.ndarray:
     """tiles: (T, th*tw) uint8 -> per-tile LUT (T, 256) uint8."""
     nbins = 256
+    if jax.default_backend() == "cpu":
+        one_hot_counts = jax.vmap(
+            lambda t: jnp.zeros(nbins, jnp.int32).at[i32(t)].add(1))(tiles)
+        return _tile_luts_from_counts(one_hot_counts, clip_limit, tile_area)
     # per-tile histograms via the same hi/lo one-hot matmul as hist256
     # (batched einsum: T tiles at once, exact integer counts in f32)
     v = i32(tiles)                      # (T, N)
@@ -101,7 +109,13 @@ def _clahe_tile_luts(tiles: jnp.ndarray, clip_limit: float, tile_area: int) -> j
     counts2d = jnp.einsum("tnh,tnl->thl", oh_hi, oh_lo,
                           preferred_element_type=jnp.float32)
     one_hot_counts = counts2d.reshape(tiles.shape[0], nbins).astype(jnp.int32)
+    return _tile_luts_from_counts(one_hot_counts, clip_limit, tile_area)
 
+
+def _tile_luts_from_counts(one_hot_counts: jnp.ndarray, clip_limit: float,
+                           tile_area: int) -> jnp.ndarray:
+    """OpenCV's clip + uniform/stepped-residual redistribution + CDF LUT."""
+    nbins = 256
     if clip_limit > 0:
         clip = max(int(clip_limit * tile_area / nbins), 1)
         clipped = jnp.minimum(one_hot_counts, clip)
@@ -145,6 +159,28 @@ def clahe(gray: jnp.ndarray, clip_limit: float = 40.0,
              .reshape(tiles_y * tiles_x, th * tw))
     luts = f32(_clahe_tile_luts(tiles, clip_limit, th * tw)
                .reshape(tiles_y, tiles_x, 256))
+
+    if jax.default_backend() == "cpu":
+        # gather+lerp path (fast on CPU; ±1 LSB vs the matrix path on rare
+        # cvRound boundary pixels, both within the documented contract)
+        ys = jnp.arange(h, dtype=jnp.float32)
+        xs = jnp.arange(w, dtype=jnp.float32)
+        tyf = ys * (np.float32(1.0) / np.float32(th)) - np.float32(0.5)
+        txf = xs * (np.float32(1.0) / np.float32(tw)) - np.float32(0.5)
+        ty1 = jnp.floor(tyf).astype(jnp.int32)
+        tx1 = jnp.floor(txf).astype(jnp.int32)
+        ya = (tyf - ty1)[:, None]
+        xa = (txf - tx1)[None, :]
+        ty1c = jnp.clip(ty1, 0, tiles_y - 1)[:, None]
+        ty2c = jnp.clip(ty1 + 1, 0, tiles_y - 1)[:, None]
+        tx1c = jnp.clip(tx1, 0, tiles_x - 1)[None, :]
+        tx2c = jnp.clip(tx1 + 1, 0, tiles_x - 1)[None, :]
+        v = i32(gray)
+        l11 = luts[ty1c, tx1c, v]
+        l12 = luts[ty1c, tx2c, v]
+        l21 = luts[ty2c, tx1c, v]
+        l22 = luts[ty2c, tx2c, v]
+        return saturate_u8(lerp2(l11, l12, l21, l22, xa, ya))
 
     # Bilinear interpolation between the 4 neighbouring tile LUTs.
     #

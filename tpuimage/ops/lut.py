@@ -29,6 +29,11 @@ def lut_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     table[idx] with the same shape as idx, computed via one-hot
     contractions (exact). Pixels are processed in 64k chunks to bound the
     one-hot working set (a megapixel x 48-row one-hot would be ~200 MB)."""
+    import jax
+    if jax.default_backend() == "cpu":
+        # gathers are cheap on CPU (and the one-hot contraction is not) —
+        # both paths select exact table values, results are identical
+        return table[jnp.clip(idx.astype(jnp.int32), 0, table.shape[0] - 1)]
     n = int(table.shape[0])
     n_hi = (n + _LO - 1) // _LO
     pad = n_hi * _LO - n
