@@ -141,6 +141,21 @@ class TestAdaptive:
         assert maxdiff(ref, ours) == 0
 
 
+class TestLut:
+    def test_lookup_matches_gather(self, rng):
+        from tpuimage.ops.lut import lut_lookup, lut_lookup_u8
+        import jax.numpy as jnp
+        # non-multiple-of-chunk size, large table (cbrt-like), negatives in table
+        table = jnp.asarray(rng.integers(-2 ** 20, 2 ** 20, size=3072), dtype=jnp.int32)
+        idx = jnp.asarray(rng.integers(0, 3072, size=(97, 123)), dtype=jnp.int32)
+        np.testing.assert_array_equal(np.asarray(lut_lookup(table, idx)),
+                                      np.asarray(table)[np.asarray(idx)])
+        t256 = jnp.asarray(rng.integers(0, 256, size=256), dtype=jnp.uint8)
+        v = jnp.asarray(rng.integers(0, 256, size=(50, 60)), dtype=jnp.uint8)
+        np.testing.assert_array_equal(np.asarray(lut_lookup_u8(t256, v)),
+                                      np.asarray(t256)[np.asarray(v)])
+
+
 class TestArith:
     def test_saturating(self, rng):
         a, b = rand_img(rng), rand_img(rng)
