@@ -277,9 +277,14 @@ def docscan_post_warp(warped_rgb: jnp.ndarray, config: DocScanConfig) -> Dict[st
     base_bin = adaptive_threshold(stretched, 255, c.thresh_method, bs, c.C)
     weighted = jnp.where(ink_mask == 0, jnp.uint8(255), base_bin)
 
-    # --- deskew (:217-236): in-graph angle + traced rotation ---
+    # --- deskew (:217-236): in-graph angle + traced rotation.
+    # max_rotate clamps |angle| <= 10 deg, so the tiled matmul-bilinear
+    # rotation applies (gather-free; ~8x faster on TPU); angle==0 (the
+    # common outcome) short-circuits to identity in unbatched runs. ---
     angle = _deskew_angle(weighted, c.canny_low, c.canny_high, c.max_rotate)
-    desk = geometry.rotate_traced(weighted, angle, border="replicate")
+    desk = jax.lax.cond(angle == 0.0, lambda im: im,
+                        lambda im: geometry.rotate_traced_tiled(im, angle),
+                        weighted)
 
     # --- morph cleanup (:247-259): close only, skipped for ksize<=1 ---
     if c.morph_ksize > 1 and c.morph_iters > 0:
