@@ -220,7 +220,9 @@ def _deskew_angle(binary: jnp.ndarray, canny_low: int, canny_high: int,
     """DocScanner.py:217-231: Canny → HoughLines(thr 150) → median of
     fold-to-[-90,90) angles, zeroed when |median| > max_rotate."""
     edges = canny(binary, canny_low, canny_high)
-    lines, valid = hough_lines(edges, threshold=150, max_lines=256)
+    # cv2.HoughLines returns ALL lines above threshold; 512 covers dense
+    # text pages (median is order-independent, only truncation matters)
+    lines, valid = hough_lines(edges, threshold=150, max_lines=512)
     theta_deg = lines[:, 1] * (180.0 / np.pi)
     ang = jnp.mod(theta_deg + 90.0, 180.0) - 90.0
     med = _median_masked(ang, valid)
