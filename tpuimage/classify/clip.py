@@ -68,6 +68,7 @@ class _MHA(nn.Module):
 class _Block(nn.Module):
     width: int
     heads: int
+    quick_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -75,7 +76,13 @@ class _Block(nn.Module):
             nn.LayerNorm(name="ln_1")(x), mask)
         h = nn.LayerNorm(name="ln_2")(x)
         h = nn.Dense(4 * self.width, name="mlp_fc")(h)
-        h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU (CLIP)
+        if self.quick_gelu:
+            # OpenAI-pretrained CLIP checkpoints ("*-quickgelu" in open_clip)
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            # open_clip's ViT-B-32 laion2b_s34b_b79k (the reference's
+            # weights, AI_classification.py:157-159) trains with exact GELU
+            h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(self.width, name="mlp_proj")(h)
         return x + h
 
@@ -87,6 +94,7 @@ class VisionTower(nn.Module):
     heads: int = 12
     patch: int = 32
     out_dim: int = 512
+    quick_gelu: bool = False
 
     @nn.compact
     def __call__(self, pixels):               # (B, 224, 224, 3) normalized
@@ -103,7 +111,8 @@ class VisionTower(nn.Module):
         x = x + pos
         x = nn.LayerNorm(name="ln_pre")(x)
         for i in range(self.layers):
-            x = _Block(self.width, self.heads, name=f"block_{i}")(x)
+            x = _Block(self.width, self.heads, self.quick_gelu,
+                       name=f"block_{i}")(x)
         x = nn.LayerNorm(name="ln_post")(x[:, 0])
         proj = self.param("proj", nn.initializers.normal(0.02),
                           (self.width, self.out_dim))
@@ -118,6 +127,7 @@ class TextTower(nn.Module):
     layers: int = 12
     heads: int = 8
     out_dim: int = 512
+    quick_gelu: bool = False
 
     @nn.compact
     def __call__(self, tokens):               # (B, 77) int32
@@ -128,7 +138,8 @@ class TextTower(nn.Module):
         mask = jnp.full((self.ctx, self.ctx), -1e9)
         mask = jnp.triu(mask, k=1)[None, None]
         for i in range(self.layers):
-            x = _Block(self.width, self.heads, name=f"block_{i}")(x, mask)
+            x = _Block(self.width, self.heads, self.quick_gelu,
+                       name=f"block_{i}")(x, mask)
         x = nn.LayerNorm(name="ln_final")(x)
         eot = jnp.argmax(tokens, axis=-1)     # highest id = end-of-text
         x = x[jnp.arange(x.shape[0]), eot]
@@ -168,8 +179,8 @@ class ClipZeroShot:
 
     def __init__(self, params: Dict[str, Any],
                  text_features: Optional[np.ndarray] = None,
-                 logit_scale: float = 100.0):
-        self.vision = VisionTower()
+                 logit_scale: float = 100.0, quick_gelu: bool = False):
+        self.vision = VisionTower(quick_gelu=quick_gelu)
         self.params = params
         self.logit_scale = logit_scale
         if text_features is None:
@@ -256,9 +267,13 @@ def convert_openclip_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 def load_from_checkpoint(path: str) -> ClipZeroShot:
     """Load a converted .npz checkpoint: the torch state_dict arrays plus a
-    precomputed ``__text_features__`` (4, 512) for the fixed PROMPTS."""
+    precomputed ``__text_features__`` (4, 512) for the fixed PROMPTS.
+    Include ``__quick_gelu__ = 1`` for OpenAI-pretrained checkpoints
+    (open_clip's "*-quickgelu" models); laion2b weights use exact GELU."""
     data = dict(np.load(path))
     tf = data.pop("__text_features__")
     scale = float(data.pop("__logit_scale__", 100.0))
+    qg = bool(data.pop("__quick_gelu__", np.asarray(0)))
     params = convert_openclip_state_dict(data)
-    return ClipZeroShot(params, text_features=tf, logit_scale=scale)
+    return ClipZeroShot(params, text_features=tf, logit_scale=scale,
+                        quick_gelu=qg)

@@ -27,14 +27,11 @@ def enhance_for_label(label: str, rgb: np.ndarray) -> np.ndarray:
     if label == "document":
         # :640-663 — DocScanner with the GUI override config; the GUI
         # displays the final binary as RGB
-        import tempfile
         from tpuimage.pipelines import docscan
-        from tpuimage.io.imageio import save_image
         from tpuimage.ops.color import gray_to_rgb
-        with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
-            save_image(f.name, rgb)
-            res = docscan.process_document(f.name, out_dir=None, save_stages=False,
-                                           config=docscan.GUI_DOCUMENT_CONFIG)
+        res = docscan.process_document(np.asarray(rgb), out_dir=None,
+                                       save_stages=False,
+                                       config=docscan.GUI_DOCUMENT_CONFIG)
         return np.asarray(gray_to_rgb(res["binary"]))
     raise ValueError(f"unknown label {label!r}")
 

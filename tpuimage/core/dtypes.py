@@ -52,6 +52,16 @@ def lerp2(v11, v12, v21, v22, xa, ya):
     return (v11 * xa1 + v12 * xa) * ya1 + (v21 * xa1 + v22 * xa) * ya
 
 
+def trunc_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """``np.clip(x, 0, 255).astype(np.uint8)`` — TRUNCATION, not cvRound.
+
+    This is the reference scripts' float->uint8 cast (e.g.
+    FaceEnhancement.py:144 mask blends, Landscape.py:95 sky blend, the
+    notebook's stretch/blend casts); distinct from :func:`saturate_u8`
+    which reproduces cv2's round-half-to-even."""
+    return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+
 def descale(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """OpenCV CV_DESCALE(x, n) = (x + (1 << (n-1))) >> n on int32.
 

@@ -312,17 +312,27 @@ def rotate_traced_tiled(img: jnp.ndarray, angle_deg: jnp.ndarray,
     gather (measured ~8x faster than the gather form on TPU).
     """
     T = 32
-    G = 56          # source window (covers T*(|sin|+1-cos) + taps + slack)
-    P = 160         # canvas padding (max displacement ~0.2*max(h,w)/2 + G)
     h, w = int(img.shape[0]), int(img.shape[1])
     cx, cy = w / 2.0, h / 2.0
     hp = (h + T - 1) // T * T
     wp = (w + T - 1) // T * T
     nty, ntx = hp // T, wp // T
+    # window/padding sized from the angle bound and the image diagonal —
+    # hardcoding these corrupted large pages silently (dynamic_slice clamps)
+    s_max = float(np.sin(np.deg2rad(max_angle)))
+    c_min = float(np.cos(np.deg2rad(max_angle)))
+    # within-tile source extent relative to the tile-corner projection:
+    # positive up to (T-1)(s_max+1), negative down to -(T-1)*s_max
+    neg = int(np.ceil((T - 1) * s_max)) + 2
+    span = neg + (T - 1) * (s_max + 1.0) + 4
+    G = int(-(-span // 8) * 8)
+    disp = s_max * (max(hp, wp) / 2.0 + T) + (1.0 - c_min) * (max(hp, wp) / 2.0 + T)
+    P = int(np.ceil(disp)) + G + 16
 
     src = pad2d(f32(img), P, P + (hp - h), P, P + (wp - w), mode="edge")
 
-    a = jnp.deg2rad(f32(angle_deg))
+    # the window math above is only valid within +-max_angle — enforce it
+    a = jnp.deg2rad(jnp.clip(f32(angle_deg), -max_angle, max_angle))
     ca, sa = jnp.cos(a), jnp.sin(a)
 
     # tile bases (static) and per-tile source-window origins (traced)
@@ -331,8 +341,8 @@ def rotate_traced_tiled(img: jnp.ndarray, angle_deg: jnp.ndarray,
     txs = jnp.asarray(txs.reshape(-1), jnp.float32)
     sy00 = sa * (txs - cx) + ca * (tys - cy) + cy
     sx00 = ca * (txs - cx) - sa * (tys - cy) + cx
-    oy = jnp.floor(sy00).astype(jnp.int32) - 8
-    ox = jnp.floor(sx00).astype(jnp.int32) - 8
+    oy = jnp.floor(sy00).astype(jnp.int32) - neg
+    ox = jnp.floor(sx00).astype(jnp.int32) - neg
 
     yl = jnp.arange(T, dtype=jnp.float32)[:, None]
     xl = jnp.arange(T, dtype=jnp.float32)[None, :]

@@ -43,16 +43,21 @@ _LO_BINS = 64
 @functools.partial(jax.jit, static_argnames=("rho", "theta_bins", "max_edges"))
 def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
                       theta_bins: int = 180,
-                      max_edges: int = 131072) -> jnp.ndarray:
+                      max_edges: int = 0) -> jnp.ndarray:
     """(numrho, numtheta) vote accumulator, same binning as cv2.HoughLines
     with theta = pi/theta_bins: r = round((x cos t + y sin t)/rho) + (nr-1)/2.
 
-    Edge pixels beyond ``max_edges`` (12.8%% of a 1 MP image) are dropped —
-    generous for Canny maps (2-7%% typical); raise it for denser inputs.
+    The edge set is compacted to a static-size list before voting. The
+    default budget scales with the image (18.75%% of pixels, floor 128k,
+    cap 512k) — well above real Canny densities (2-13%% measured); denser
+    synthetic inputs would drop the lowest-index pixels (top rows first,
+    top_k tie order), so pass an explicit ``max_edges`` for those.
     """
     h, w = edges.shape
     numrho = int(round(((w + h) * 2 + 1) / rho))
     n_hi = (numrho + _LO_BINS - 1) // _LO_BINS + 1  # +1 spare for invalid bin
+    if max_edges <= 0:
+        max_edges = min(max(131072, (h * w * 3) // 16), 524288)
     k = min(max_edges, h * w)
 
     thetas = np.arange(theta_bins) * (np.pi / theta_bins)

@@ -284,9 +284,12 @@ def docscan_post_warp(warped_rgb: jnp.ndarray, config: DocScanConfig) -> Dict[st
     # rotation applies (gather-free; ~8x faster on TPU); angle==0 (the
     # common outcome) short-circuits to identity in unbatched runs. ---
     angle = _deskew_angle(weighted, c.canny_low, c.canny_high, c.max_rotate)
-    desk = jax.lax.cond(angle == 0.0, lambda im: im,
-                        lambda im: geometry.rotate_traced_tiled(im, angle),
-                        weighted)
+    if c.max_rotate <= 30.0:
+        rot = lambda im: geometry.rotate_traced_tiled(im, angle,
+                                                      max_angle=c.max_rotate)
+    else:  # very large deskew bounds fall back to the exact gather form
+        rot = lambda im: geometry.rotate_traced(im, angle, border="replicate")
+    desk = jax.lax.cond(angle == 0.0, lambda im: im, rot, weighted)
 
     # --- morph cleanup (:247-259): close only, skipped for ksize<=1 ---
     if c.morph_ksize > 1 and c.morph_iters > 0:
@@ -312,13 +315,17 @@ def docscan_post_warp_batch(warped_batch: jnp.ndarray, config: DocScanConfig):
 # host orchestration (the reference process_document contract)
 # ---------------------------------------------------------------------------
 
-def process_document(input_path: str, out_dir: Optional[str] = "outputs",
+def process_document(input_path, out_dir: Optional[str] = "outputs",
                      config: DocScanConfig = DocScanConfig(),
                      save_stages: bool = True, do_ocr: bool = False) -> dict:
     """DocScanner.py:262-365 process_document: returns {quad, warped,
     binary, stages...}; optionally dumps every stage PNG like the
-    reference (scan_01..scan_08)."""
-    rgb = load_image_rgb(input_path)
+    reference (scan_01..scan_08). ``input_path`` may also be an RGB uint8
+    ndarray (in-memory serving path)."""
+    if isinstance(input_path, (str, os.PathLike)):
+        rgb = load_image_rgb(input_path)
+    else:
+        rgb = np.asarray(input_path)
     c = config
 
     def dump(name, img):

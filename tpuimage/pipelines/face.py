@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuimage.core.dtypes import f32, saturate_u8
+from tpuimage.core.dtypes import f32, saturate_u8, trunc_u8
 from tpuimage.ops.median import median_blur
 from tpuimage.ops.filters import gaussian_blur_u8
 from tpuimage.ops.bilateral import bilateral_filter
@@ -44,8 +44,7 @@ COLOR_SATURATION = 1.20
 _ELLIPSE5 = structuring_element(MORPH_ELLIPSE, 5)
 
 
-def _trunc_u8(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.clip(x, 0, 255).astype(jnp.uint8)
+_trunc_u8 = trunc_u8
 
 
 # ---------------------------------------------------------------------------

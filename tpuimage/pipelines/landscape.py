@@ -20,7 +20,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from tpuimage.core.dtypes import f32, saturate_u8
+from tpuimage.core.dtypes import f32, saturate_u8, trunc_u8
 from tpuimage.ops.median import median_blur
 from tpuimage.ops.bilateral import bilateral_filter
 from tpuimage.ops.nlm import nlm_denoise_colored
@@ -42,9 +42,7 @@ ENHANCEMENT_PRESET = {
 }
 
 
-def _trunc_u8(x: jnp.ndarray) -> jnp.ndarray:
-    """np.clip(x,0,255).astype(np.uint8) — truncation, not rounding."""
-    return jnp.clip(x, 0, 255).astype(jnp.uint8)
+_trunc_u8 = trunc_u8
 
 
 def degrade_image(rgb: jnp.ndarray, key: jax.Array, config=None) -> jnp.ndarray:

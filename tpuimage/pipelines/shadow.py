@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpuimage.core.dtypes import f32
+from tpuimage.core.dtypes import f32, trunc_u8
 from tpuimage.ops import color as colorops
 from tpuimage.ops.histogram import clahe
 from tpuimage.ops.filters import gaussian_blur_u8, gaussian_blur_f32
@@ -139,8 +139,7 @@ def auto_categorize(rgb: np.ndarray, detect_faces: bool = False) -> str:
 # stages (cell 19 helpers, truncating casts reproduced)
 # ---------------------------------------------------------------------------
 
-def _trunc_u8(x):
-    return jnp.clip(x, 0, 255).astype(jnp.uint8)
+_trunc_u8 = trunc_u8
 
 
 def get_shadow_mask_brightness(rgb: jnp.ndarray, v_threshold: int = 70,

@@ -92,6 +92,8 @@ def halo_exchange(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
     idiomatic TPU halo). Outer boundaries get zero rows (callers handle
     real border semantics by padding the global image first).
     """
+    if halo == 0:
+        return x
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     top = x[:halo]

@@ -22,10 +22,14 @@ log = logging.getLogger("tpuimage")
 
 def sync(tree) -> None:
     """Force completion of a device computation by fetching one scalar
-    (block_until_ready returns early on the tunneled axon backend)."""
+    (block_until_ready returns early on the tunneled axon backend).
+    Indexes on-device first so only one element crosses the link."""
     leaves = jax.tree_util.tree_leaves(tree)
     if leaves:
-        np.asarray(leaves[0]).reshape(-1)[:1]
+        leaf = leaves[0]
+        if hasattr(leaf, "reshape"):
+            leaf = leaf.reshape(-1)[0]
+        jax.device_get(leaf)
 
 
 @contextlib.contextmanager
