@@ -44,20 +44,25 @@ def main(argv=None) -> None:
     rows = []
     key = jax.random.PRNGKey(args.seed)
     for i, f in enumerate(files):
-        rgb = load_image_rgb(f)
         key, sub = jax.random.split(key)
-        res = landscape.landscape_eval_step(jnp.asarray(rgb), sub)
-        stem = os.path.splitext(os.path.basename(f))[0]
-        for k in ("enhanced", "degraded", "restored"):
-            save_image(os.path.join(args.out, f"{stem}_{k}.png"),
-                       np.asarray(res[k]))
-        row = {"file": os.path.basename(f),
-               "psnr_enhanced": float(res["psnr_enhanced"]),
-               "ssim_enhanced": float(res["ssim_enhanced"]),
-               "psnr_restored": float(res["psnr_restored"]),
-               "ssim_restored": float(res["ssim_restored"])}
-        rows.append(row)
-        print(f"[{i + 1}/{len(files)}] {row}")
+        try:
+            rgb = load_image_rgb(f)
+            res = landscape.landscape_eval_step(jnp.asarray(rgb), sub)
+            stem = os.path.splitext(os.path.basename(f))[0]
+            for k in ("enhanced", "degraded", "restored"):
+                save_image(os.path.join(args.out, f"{stem}_{k}.png"),
+                           np.asarray(res[k]))
+            row = {"file": os.path.basename(f),
+                   "psnr_enhanced": float(res["psnr_enhanced"]),
+                   "ssim_enhanced": float(res["ssim_enhanced"]),
+                   "psnr_restored": float(res["psnr_restored"]),
+                   "ssim_restored": float(res["ssim_restored"])}
+            rows.append(row)
+            print(f"[{i + 1}/{len(files)}] {row}")
+        except Exception as e:  # per-image isolation (Landscape.py:236-238)
+            print(f"[{i + 1}/{len(files)}] FAILED {f}: {e}")
+    if not rows:
+        raise SystemExit("all images failed")
 
     with open(os.path.join(args.out, "landscape_metrics.csv"), "w", newline="") as fh:
         w = csv.DictWriter(fh, fieldnames=list(rows[0]))
