@@ -127,6 +127,22 @@ class TestBatch:
                               np.asarray(single["clean"]))
 
 
+class TestScanBatch:
+    def test_batch_matches_process_document(self, doc_result, tmp_path):
+        from PIL import Image
+        import jax
+        from tpuimage.runtime.mesh import make_mesh
+        # two copies of the doc + one broken path, DP-sharded over 8 devices
+        inputs = [DOC1, str(tmp_path / "missing.png"), DOC1]
+        results = docscan.scan_batch(inputs, config=docscan.GUI_DOCUMENT_CONFIG,
+                                     mesh=make_mesh(8))
+        assert "error" in results[1]
+        for r in (results[0], results[2]):
+            assert r["binary"].shape == (1200, 849)
+            np.testing.assert_array_equal(r["binary"],
+                                          np.asarray(doc_result["binary"]))
+
+
 class TestFallback:
     def test_use_whole_on_featureless_image(self, tmp_path):
         from PIL import Image

@@ -371,12 +371,16 @@ def process_document(input_path, out_dir: Optional[str] = "outputs",
 
     result = {"quad": quad, "warped": warped, "binary": stages["clean"],
               "use_whole": use_whole, "stages": stages}
+    return _finish_document(result, out_dir, do_ocr)
+
+
+def _finish_document(result: dict, out_dir: Optional[str], do_ocr: bool) -> dict:
 
     if do_ocr:
         # optional host OCR behind the same flag as DocScanner.py:354-363
         try:
             import pytesseract
-            text = pytesseract.image_to_string(np.asarray(stages["clean"]),
+            text = pytesseract.image_to_string(np.asarray(result["binary"]),
                                                config="--psm 6")
             if out_dir:
                 with open(os.path.join(out_dir, "scan_ocr.txt"), "w",
@@ -386,3 +390,70 @@ def process_document(input_path, out_dir: Optional[str] = "outputs",
         except Exception as e:
             result["ocr_error"] = str(e)
     return result
+
+
+def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
+               mesh=None) -> list:
+    """Batched serving path: localize each document on host (cheap,
+    per-image), stack the warped pages (static page shape), and run the
+    fused post-warp program ONCE over the whole batch — DP-sharded over a
+    device mesh when one is given. Returns a list of per-image dicts
+    {quad, use_whole, binary}. Per-image failures are isolated (the
+    reference's try/except-continue pattern): failed entries carry
+    {"error": ...} instead.
+
+    This is the scale-out replacement for calling process_document in a
+    loop: one jit dispatch amortizes the whole batch (SURVEY.md §2.3 DP).
+    """
+    metas = []
+    pages = []
+    for item in inputs:
+        try:
+            rgb = load_image_rgb(item) if isinstance(item, (str, os.PathLike)) \
+                else np.asarray(item)
+            quad = localize_document(rgb, config)
+            use_whole = quad is None
+            if quad is not None:
+                ratio = cnt.contour_area(quad) / max(rgb.shape[0] * rgb.shape[1], 1)
+                if ratio < config.min_quad_area_ratio:
+                    use_whole = True
+            if not use_whole and quad is not None:
+                warped = np.asarray(perspective_warp(rgb, quad, page=config.page,
+                                                     scale_long=config.scale_long))
+            else:
+                warped = np.asarray(geometry.resize_long_side(
+                    jnp.asarray(rgb), config.scale_long, interpolation="area"))
+            # batch members must share the page shape; pad/crop the
+            # use-whole fallbacks to the dominant A4 portrait geometry
+            metas.append({"quad": quad, "use_whole": use_whole})
+            pages.append(warped)
+        except Exception as e:
+            metas.append({"error": str(e)})
+            pages.append(None)
+
+    shapes = {p.shape for p in pages if p is not None}
+    results = []
+    if not shapes:
+        return metas
+    # group by shape (portrait/landscape pages compile separately)
+    out_by_idx = {}
+    for shape in shapes:
+        idxs = [i for i, p in enumerate(pages)
+                if p is not None and p.shape == shape]
+        batch = jnp.asarray(np.stack([pages[i] for i in idxs]))
+        if mesh is not None:
+            from tpuimage.runtime.mesh import shard_batch, pad_to_multiple
+            ndev = int(np.prod(list(mesh.shape.values())))
+            padded, n_real = pad_to_multiple(np.asarray(batch), ndev)
+            batch = shard_batch(jnp.asarray(padded), mesh)
+        else:
+            n_real = batch.shape[0]
+        clean = np.asarray(docscan_post_warp_batch(batch, config)["clean"])[:n_real]
+        for j, i in enumerate(idxs):
+            out_by_idx[i] = clean[j]
+    for i, meta in enumerate(metas):
+        if "error" in meta:
+            results.append(meta)
+        else:
+            results.append({**meta, "binary": out_by_idx[i]})
+    return results
