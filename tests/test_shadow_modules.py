@@ -188,6 +188,16 @@ class TestModules:
         mag = cv2.magnitude(gx, gy)
         assert abs(float(f["grad_magnitude_mean"]) - mag.mean()) < 0.1
 
+    def test_modules_vmap_consistency(self, scene):
+        import jax
+        batch = jnp.asarray(np.stack([scene, scene[:, ::-1]]))
+        b1 = np.asarray(jax.vmap(modules.module1_enhance)(batch))
+        s1 = np.asarray(modules.module1_enhance(jnp.asarray(scene)))
+        np.testing.assert_array_equal(b1[0], s1)
+        b4 = np.asarray(jax.vmap(modules.module4_segment)(batch))
+        s4 = np.asarray(modules.module4_segment(jnp.asarray(scene)))
+        np.testing.assert_array_equal(b4[0], s4)
+
     def test_module7_sizes_monotone(self, scene, tmp_path):
         sizes = modules.module7_compress(scene, str(tmp_path))
         assert sizes["compressed_jpeg_q30.jpg"] <= sizes["compressed_jpeg_q90.jpg"]
