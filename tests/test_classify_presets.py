@@ -142,6 +142,38 @@ class TestClipArchitecture:
         assert out.shape == (2, 512)
 
 
+class TestTokenizer:
+    def _toy(self):
+        from tpuimage.classify.tokenizer import SimpleTokenizer
+        # synthetic merges: build "lake</w>" and "face</w>" greedily
+        merges = [("l", "a"), ("la", "k"), ("lak", "e</w>"),
+                  ("f", "a"), ("fa", "c"), ("fac", "e</w>"),
+                  ("a", "n</w>")]
+        return SimpleTokenizer(merges=merges)
+
+    def test_merge_algorithm(self):
+        tok = self._toy()
+        ids = tok.encode("lake")
+        assert ids == [tok.encoder["lake</w>"]]
+        ids2 = tok.encode("face lake")
+        assert ids2 == [tok.encoder["face</w>"], tok.encoder["lake</w>"]]
+
+    def test_tokenize_framing(self):
+        tok = self._toy()
+        arr = tok.tokenize(["lake", "an unknown-word"])
+        assert arr.shape == (2, 77) and arr.dtype == np.int32
+        assert arr[0, 0] == tok.sot and arr[0, 2] == tok.eot
+        assert arr[0, 1] == tok.encoder["lake</w>"]
+        assert (arr[0, 3:] == 0).all()
+        # EOT position is where TextTower's argmax picks the embedding
+        assert arr[1].max() == tok.eot
+
+    def test_unknown_chars_fall_back_to_bytes(self):
+        tok = self._toy()
+        ids = tok.encode("zq")  # no merges apply
+        assert len(ids) == 2  # 'z' + 'q</w>'
+
+
 class TestRouter:
     def test_routes_night(self):
         from tpuimage.classify.router import classify_and_enhance
