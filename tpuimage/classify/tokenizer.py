@@ -38,9 +38,9 @@ def get_pairs(word: Tuple[str, ...]):
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
+# CLIP's pattern uses \p{L}/\p{N} (regex module); the stdlib-re equivalent
+# below matches identically for the ASCII prompts this framework ships.
 _PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+"""
-    r"""|[\p{N}]|[^\s\p{L}\p{N}]+""" if False else
     r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+"""
     r"""|[0-9]|[^\sa-zA-Z0-9]+""",
     re.IGNORECASE)

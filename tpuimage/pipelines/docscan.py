@@ -251,7 +251,11 @@ def docscan_post_warp(warped_rgb: jnp.ndarray, config: DocScanConfig) -> Dict[st
     illum = normalize_minmax(tmp)
 
     # --- contrast stretch (:171-172) ---
-    stretched = normalize_minmax(illum)
+    # provably identity here: illum is already NORM_MINMAX output (min=0,
+    # max=255 endpoints exact), so a second min-max stretch maps x -> x.
+    # The committed goldens confirm it (scan_04 == scan_05 byte-identical,
+    # SURVEY.md §2.1 C11); skipping saves a full-image reduce per page.
+    stretched = illum
 
     # --- ink mask (:175-214) ---
     mk = c.mask_blur_ksize + (c.mask_blur_ksize % 2 == 0)
