@@ -41,6 +41,24 @@ class TestLocalize:
         w = np.asarray(doc_result["warped"])
         assert w.shape == (1200, 849, 3)  # A4 portrait @ scale_long 1200
 
+    def test_landscape_orientation_page(self, tmp_path):
+        # rotate the document 90 degrees: the quad becomes wider than tall,
+        # exercising the landscape branch of the warp target logic
+        from PIL import Image
+        rgb = np.asarray(Image.open(DOC1).convert("RGB"))
+        rot = np.rot90(rgb).copy()
+        p = tmp_path / "rot.png"
+        Image.fromarray(rot).save(p)
+        res = docscan.process_document(str(p), out_dir=None, save_stages=False,
+                                       config=docscan.GUI_DOCUMENT_CONFIG)
+        if not res["use_whole"]:
+            # reference quirk preserved (DocScanner.py:137-139): the
+            # landscape branch sets target_w = scale_long and target_h =
+            # round(target_w * ratio), yielding a 1200x1697 canvas — taller
+            # than wide — for a landscape quad.
+            assert np.asarray(res["warped"]).shape == (1697, 1200, 3)
+        assert np.asarray(res["binary"]).ndim == 2
+
 
 class TestPostWarpParity:
     @pytest.mark.parametrize("cfg", [docscan.GUI_DOCUMENT_CONFIG,
