@@ -23,8 +23,11 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream, so
+    # failures reproduce in isolation (a session-scoped rng made results
+    # depend on which tests ran before — VERDICT round 1, Weak #2).
     return np.random.default_rng(1234)
 
 

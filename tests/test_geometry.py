@@ -77,15 +77,22 @@ class TestPerspective:
         # rare cvRound boundary flips only.
         assert d.max() <= 1 and np.mean(d > 0) < 0.005
 
-    def test_remap_exact(self, rng, gray):
-        my = rng.uniform(-3, 99, (50, 60)).astype(np.float32)
-        mx = rng.uniform(-3, 125, (50, 60)).astype(np.float32)
-        ref = cv2.remap(gray, mx, my, cv2.INTER_LINEAR)
-        mine = geo._bilinear_gather_u8(gray, mx, my)
-        assert maxdiff(ref, mine) == 0
-        ref = cv2.remap(gray, mx, my, cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
-        mine = geo._bilinear_gather_u8(gray, mx, my, border="replicate")
-        assert maxdiff(ref, mine) == 0
+    @pytest.mark.parametrize("seed", [7, 10, 26, 1234])
+    def test_remap(self, seed):
+        # seeds 7/10/26 hit coords where the 4-tap MAC lands within 1e-5 of
+        # an x.5 rounding boundary; XLA's FMA contraction can flip cvRound
+        # there (see _bilinear_gather_u8 docstring / CLAUDE.md contract):
+        # assert the documented +-1 LSB on <0.5% of pixels, exact elsewhere.
+        r = np.random.default_rng(seed)
+        gray = r.integers(0, 256, size=(97, 123), dtype=np.uint8)
+        my = r.uniform(-3, 99, (50, 60)).astype(np.float32)
+        mx = r.uniform(-3, 125, (50, 60)).astype(np.float32)
+        for border, kw in [("constant", {}),
+                           ("replicate", dict(borderMode=cv2.BORDER_REPLICATE))]:
+            ref = cv2.remap(gray, mx, my, cv2.INTER_LINEAR, **kw)
+            mine = np.asarray(geo._bilinear_gather_u8(gray, mx, my, border=border))
+            d = np.abs(ref.astype(int) - mine.astype(int))
+            assert d.max() <= 1 and np.mean(d > 0) < 0.005
 
 
 class TestAffine:

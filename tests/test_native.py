@@ -60,4 +60,6 @@ class TestNativeContours:
         t0 = time.perf_counter()
         a = cnt.find_external_contours(binary)
         native_t = time.perf_counter() - t0
-        assert a and native_t < 1.0  # numpy path takes >10s on this input
+        # the numpy path takes >10s on this input; 5.0s leaves ~25x headroom
+        # over the native tracer's typical ~0.2s so CI load can't flake it
+        assert a and native_t < 5.0

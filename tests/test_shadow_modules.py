@@ -12,8 +12,9 @@ from tpuimage.io.imageio import load_image_rgb
 
 
 @pytest.fixture(scope="module")
-def scene(rng):
-    img = rng.integers(0, 256, size=(120, 160, 3), dtype=np.uint8)
+def scene():
+    img = np.random.default_rng(1234).integers(0, 256, size=(120, 160, 3),
+                                               dtype=np.uint8)
     return cv2.GaussianBlur(img, (7, 7), 0)
 
 

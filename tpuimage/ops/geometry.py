@@ -12,11 +12,15 @@ warp) are handled by fixing the page geometry per preset (SURVEY.md §7
 hard part 4) and computing the 3x3 homography on host or with
 jnp.linalg.solve (8x8 — negligible).
 
-cv2 parity notes: OpenCV's 8u resize/warp paths run fixed-point
-(INTER_RESIZE_COEF_BITS=11, INTER_BITS=5 for warps). We compute the same
-coefficient quantization in f32 so results are bit-exact for INTER_LINEAR
-resize and warpAffine/warpPerspective INTER_LINEAR, and exact for
-INTER_AREA with integer scale; INTER_CUBIC matches within +-1 LSB.
+cv2 parity notes: OpenCV's 8u resize path runs fixed-point
+(INTER_RESIZE_COEF_BITS=11); we compute the same coefficient quantization
+in f32 so INTER_LINEAR resize is bit-exact and INTER_AREA exact at integer
+scale; INTER_CUBIC matches within +-1 LSB. This cv2 5.0 build's
+remap/warpAffine/warpPerspective INTER_LINEAR are plain-f32 bilinear with
+a final cvRound; we match within the CLAUDE.md float contract — +-1 LSB
+on <0.5% of pixels where XLA FMA contraction lands the 4-tap MAC on the
+other side of an x.5 rounding boundary (uncontrollable; measured ~1 px
+per 3000 on random float coords), exact elsewhere.
 """
 from __future__ import annotations
 
@@ -225,7 +229,9 @@ def _bilinear_gather_u8(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray
     This OpenCV build (5.0) computes remap/warp bilinear in plain float32
     (verified empirically: no 1/32 coordinate quantization, no Q15 weight
     tables) with a final cvRound — which is exactly the TPU-friendly
-    formulation: a 4-tap gather with float MACs.
+    formulation: a 4-tap gather with float MACs. Parity is +-1 LSB on
+    <0.5% of pixels (XLA FMA contraction vs cv2's MAC order at x.5
+    boundaries — see module docstring), exact elsewhere.
     """
     h, w = img.shape[0], img.shape[1]
     x0 = jnp.floor(map_x)

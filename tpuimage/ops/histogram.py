@@ -24,16 +24,21 @@ from tpuimage.core.dtypes import saturate_u8, f32, i32, lerp2
 from tpuimage.core.borders import pad2d, BORDER_REFLECT_101
 
 
-def hist256(gray: jnp.ndarray) -> jnp.ndarray:
+def hist256(gray: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     """256-bin histogram of a uint8 array (int32 counts).
 
     MXU formulation: decompose the bin index as hi*64+lo and compute the
     2-D histogram as onehot_hi^T @ onehot_lo — bf16 0/1 factors with f32
     accumulation give exact integer counts (scatter-add histograms measured
     ~40 ms/megapixel on TPU; this runs in ~1 ms). CPU keeps scatter-add
-    (fast there; counts identical)."""
+    (fast there; counts identical).
+
+    impl: "auto" = scatter on CPU / MXU elsewhere; "scatter" / "mxu" force
+    a path (tests assert both agree on CPU)."""
     import jax
-    if jax.default_backend() == "cpu":
+    if impl == "auto":
+        impl = "scatter" if jax.default_backend() == "cpu" else "mxu"
+    if impl == "scatter":
         return jnp.zeros(256, jnp.int32).at[i32(gray).reshape(-1)].add(1)
     v = i32(gray).reshape(-1)
     hi = v >> 6
@@ -92,10 +97,16 @@ def equalize_hist(gray: jnp.ndarray) -> jnp.ndarray:
 # CLAHE
 # ---------------------------------------------------------------------------
 
-def _clahe_tile_luts(tiles: jnp.ndarray, clip_limit: float, tile_area: int) -> jnp.ndarray:
-    """tiles: (T, th*tw) uint8 -> per-tile LUT (T, 256) uint8."""
+def _clahe_tile_luts(tiles: jnp.ndarray, clip_limit: float, tile_area: int,
+                     impl: str = "auto") -> jnp.ndarray:
+    """tiles: (T, th*tw) uint8 -> per-tile LUT (T, 256) uint8.
+
+    impl: "auto" = scatter on CPU / MXU batched einsum elsewhere;
+    "scatter" / "mxu" force a path (tests assert both agree on CPU)."""
     nbins = 256
-    if jax.default_backend() == "cpu":
+    if impl == "auto":
+        impl = "scatter" if jax.default_backend() == "cpu" else "mxu"
+    if impl == "scatter":
         one_hot_counts = jax.vmap(
             lambda t: jnp.zeros(nbins, jnp.int32).at[i32(t)].add(1))(tiles)
         return _tile_luts_from_counts(one_hot_counts, clip_limit, tile_area)
@@ -138,10 +149,15 @@ def _tile_luts_from_counts(one_hot_counts: jnp.ndarray, clip_limit: float,
     return saturate_u8(f32(csum) * lut_scale)
 
 
-@functools.partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y"))
+@functools.partial(jax.jit,
+                   static_argnames=("clip_limit", "tiles_x", "tiles_y", "impl"))
 def clahe(gray: jnp.ndarray, clip_limit: float = 40.0,
-          tiles_x: int = 8, tiles_y: int = 8) -> jnp.ndarray:
-    """cv2.createCLAHE(clipLimit, (tiles_x, tiles_y)).apply(gray), bit-exact."""
+          tiles_x: int = 8, tiles_y: int = 8, impl: str = "auto") -> jnp.ndarray:
+    """cv2.createCLAHE(clipLimit, (tiles_x, tiles_y)).apply(gray), bit-exact.
+
+    impl: "auto" = gather+lerp on CPU / blend-matrix scan elsewhere;
+    "gather" / "mxu" force a path (tests assert both agree on CPU within
+    the documented ±1 LSB cvRound-boundary contract)."""
     h, w = gray.shape
     if h % tiles_y == 0 and w % tiles_x == 0:
         ph = pw = 0
@@ -154,13 +170,16 @@ def clahe(gray: jnp.ndarray, clip_limit: float = 40.0,
         th, tw = (h + ph) // tiles_y, (w + pw) // tiles_x
     src_lut = pad2d(gray, 0, ph, 0, pw, mode=BORDER_REFLECT_101) if (ph or pw) else gray
 
+    if impl == "auto":
+        impl = "gather" if jax.default_backend() == "cpu" else "mxu"
     tiles = (src_lut.reshape(tiles_y, th, tiles_x, tw)
              .transpose(0, 2, 1, 3)
              .reshape(tiles_y * tiles_x, th * tw))
-    luts = f32(_clahe_tile_luts(tiles, clip_limit, th * tw)
+    luts = f32(_clahe_tile_luts(tiles, clip_limit, th * tw,
+                                impl="scatter" if impl == "gather" else impl)
                .reshape(tiles_y, tiles_x, 256))
 
-    if jax.default_backend() == "cpu":
+    if impl == "gather":
         # gather+lerp path (fast on CPU; ±1 LSB vs the matrix path on rare
         # cvRound boundary pixels, both within the documented contract)
         ys = jnp.arange(h, dtype=jnp.float32)

@@ -40,10 +40,11 @@ from tpuimage.core.dtypes import f32, i32
 _LO_BINS = 64
 
 
-@functools.partial(jax.jit, static_argnames=("rho", "theta_bins", "max_edges"))
+@functools.partial(jax.jit, static_argnames=("rho", "theta_bins", "max_edges",
+                                              "impl"))
 def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
                       theta_bins: int = 180,
-                      max_edges: int = 0) -> jnp.ndarray:
+                      max_edges: int = 0, impl: str = "auto") -> jnp.ndarray:
     """(numrho, numtheta) vote accumulator, same binning as cv2.HoughLines
     with theta = pi/theta_bins: r = round((x cos t + y sin t)/rho) + (nr-1)/2.
 
@@ -52,6 +53,10 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
     cap 512k) — well above real Canny densities (2-13%% measured); denser
     synthetic inputs would drop the lowest-index pixels (top rows first,
     top_k tie order), so pass an explicit ``max_edges`` for those.
+
+    impl: "auto" = Pallas kernel on TPU / XLA one-hot scan elsewhere;
+    "xla" / "pallas" force a path (the Pallas kernel runs interpreted off
+    TPU; tests assert the two produce identical counts).
     """
     h, w = edges.shape
     numrho = int(round(((w + h) * 2 + 1) / rho))
@@ -59,6 +64,36 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
     if max_edges <= 0:
         max_edges = min(max(131072, (h * w * 3) // 16), 524288)
     k = min(max_edges, h * w)
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if impl == "auto":
+        impl = "pallas" if on_tpu else "xla"
+    if impl == "pallas" and rho == 1.0:
+        # banded compaction: band b holds edges with flat_idx % 128 == b,
+        # packed to the front by a per-band top_k (128 small selections are
+        # ~2x cheaper than one global 1M-element top_k, and the kernel's
+        # dynamic trip count then tracks the densest band, not the budget).
+        # Budget caveat: a band overflowing kb drops its lowest-index edges
+        # even if the global budget isn't exhausted — only possible when
+        # >kb edge pixels share the same flat_idx mod 128 (adversarial
+        # inputs; NMS-thinned Canny maps measured 2-13%% dense stay far
+        # below the 18.75%% default).
+        from tpuimage.ops.pallas_kernels import (hough_votes_pallas,
+                                                 _HOUGH_BANDS, _HOUGH_ROWS)
+        n = h * w
+        n_over_b = -(-n // _HOUGH_BANDS)
+        kk = min(max(1, k // _HOUGH_BANDS), n_over_b)   # per-band selection
+        kb = kk + (-kk) % _HOUGH_ROWS                   # kernel row-chunk pad
+        flat = edges.reshape(-1).astype(jnp.int32)
+        m = jnp.pad(flat, (0, n_over_b * _HOUGH_BANDS - n)
+                    ).reshape(n_over_b, _HOUGH_BANDS).T
+        vals, ci = lax.top_k(m, kk)                 # (128, kk), ties keep order
+        counts = jnp.sum((vals > 0).astype(jnp.int32), axis=1)
+        ci_t = ci.T
+        if kb > kk:
+            ci_t = jnp.pad(ci_t, ((0, kb - kk), (0, 0)))
+        return hough_votes_pallas(ci_t, counts, numrho, w, theta_bins,
+                                  interpret=not on_tpu)
 
     thetas = np.arange(theta_bins) * (np.pi / theta_bins)
     cos_t = jnp.asarray(np.cos(thetas) / rho, dtype=jnp.float32)

@@ -24,13 +24,19 @@ _LO = 64
 _CHUNK = 65536
 
 
-def lut_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def lut_lookup(table: jnp.ndarray, idx: jnp.ndarray,
+               impl: str = "auto") -> jnp.ndarray:
     """table: (N,) numeric; idx: any-shape int in [0, N). Returns
     table[idx] with the same shape as idx, computed via one-hot
     contractions (exact). Pixels are processed in 64k chunks to bound the
-    one-hot working set (a megapixel x 48-row one-hot would be ~200 MB)."""
+    one-hot working set (a megapixel x 48-row one-hot would be ~200 MB).
+
+    impl: "auto" picks gather on CPU / one-hot MXU contraction elsewhere;
+    "gather" / "mxu" force a path (tests assert both agree on CPU)."""
     import jax
-    if jax.default_backend() == "cpu":
+    if impl == "auto":
+        impl = "gather" if jax.default_backend() == "cpu" else "mxu"
+    if impl == "gather":
         # gathers are cheap on CPU (and the one-hot contraction is not) —
         # both paths select exact table values, results are identical
         return table[jnp.clip(idx.astype(jnp.int32), 0, table.shape[0] - 1)]

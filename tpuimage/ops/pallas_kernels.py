@@ -107,6 +107,119 @@ def bilateral_gray_pallas(img: jnp.ndarray, d: int, sigma_color: float,
     return out[:h, :w].astype(jnp.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Hough vote accumulation
+# ---------------------------------------------------------------------------
+
+_HOUGH_LO = 128      # lane-aligned lo-bin width
+_HOUGH_BANDS = 128   # compaction bands (edge e lives in band flat_idx % 128)
+_HOUGH_ROWS = 64     # rows per in-kernel chunk (chunk = ROWS * BANDS edges)
+
+
+def _make_hough_kernel(numrho: int, n_hi: int, w: int):
+    """votes[theta] = sum_e onehot_hi(r_e)^T @ onehot_lo(r_e) for one theta.
+
+    Performance notes (measured on the axon chip, 8x 849x1200 pages):
+    - The XLA scan formulation materializes the (edges, n_hi + LO) one-hots
+      to HBM every theta step (~390 MB/step at batch 8): 33-53 ms total.
+      Here they are built chunk-by-chunk in VMEM and die inside the loop.
+    - One-hots are built LANE-MAJOR ((bins, edges), iota on sublanes): the
+      natural (edges, bins) orientation needs an 8k-lane->sublane relayout
+      per chunk that made the kernel 10x SLOWER than XLA (345 ms).
+    - Edges arrive band-compacted (band b = flat_idx %% 128 at lane b, each
+      band's edges packed to the front), so the chunk loop's trip count is
+      dynamic: ceil(max_band_count / ROWS) — padding beyond the true edge
+      count costs nothing. Total: ~8 ms voting + ~7 ms banded top_k.
+    """
+    invalid_bin = n_hi * _HOUGH_LO - 1  # spare hi row, dropped by caller
+    chunk = _HOUGH_ROWS * _HOUGH_BANDS
+
+    def kernel(nt_ref, ct_ref, st_ref, ci_ref, cnt_ref, out_ref, acc_ref):
+        t = pl.program_id(0)
+        ct = ct_ref[t, 0]
+        st = st_ref[t, 0]
+        acc_ref[:] = jnp.zeros((n_hi, _HOUGH_LO), jnp.float32)
+        band = jax.lax.broadcasted_iota(jnp.int32, (_HOUGH_ROWS, _HOUGH_BANDS), 1)
+
+        def body(c, _):
+            ci = ci_ref[pl.ds(c * _HOUGH_ROWS, _HOUGH_ROWS), :]
+            rowj = c * _HOUGH_ROWS + jax.lax.broadcasted_iota(
+                jnp.int32, (_HOUGH_ROWS, _HOUGH_BANDS), 0)
+            ok = rowj < cnt_ref[0, :]
+            gi = ci * _HOUGH_BANDS + band           # flat image index
+            y = (gi // w).astype(jnp.float32)
+            x = (gi % w).astype(jnp.float32)
+            r = jnp.round(x * ct + y * st).astype(jnp.int32) + (numrho - 1) // 2
+            r = jnp.where(ok, jnp.clip(r, 0, invalid_bin), invalid_bin
+                          ).reshape(1, chunk)
+            hi = r // _HOUGH_LO
+            lo = r % _HOUGH_LO
+            ohT_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (n_hi, chunk), 0)
+                      ).astype(jnp.bfloat16)
+            ohT_lo = (lo == jax.lax.broadcasted_iota(jnp.int32, (_HOUGH_LO, chunk), 0)
+                      ).astype(jnp.bfloat16)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                ohT_hi, ohT_lo, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
+        out_ref[:] = acc_ref[:].reshape(1, n_hi, _HOUGH_LO)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("numrho", "w", "theta_bins",
+                                             "interpret"))
+def hough_votes_pallas(ci_t: jnp.ndarray, counts: jnp.ndarray, numrho: int,
+                       w: int, theta_bins: int = 180,
+                       interpret: bool = False) -> jnp.ndarray:
+    """(numrho, theta_bins) int32 vote accumulator over a band-compacted
+    edge list — the Pallas production path of ops.hough.hough_accumulator
+    (identical counts: same f32 round, same bf16 one-hot / f32-accumulate
+    contraction).
+
+    ci_t: (kb, 128) int32 — per-band in-band indices from a banded top_k,
+    transposed so valid edges are row-dense; counts: (128,) int32 edges per
+    band; w: image width (flat index = in_band_idx * 128 + band)."""
+    kb = int(ci_t.shape[0])
+    assert kb % _HOUGH_ROWS == 0
+    n_hi = (numrho + _HOUGH_LO - 1) // _HOUGH_LO + 1  # +1 spare row
+
+    thetas = np.arange(theta_bins) * (np.pi / theta_bins)
+    cos_t = jnp.asarray(np.cos(thetas), jnp.float32).reshape(theta_bins, 1)
+    sin_t = jnp.asarray(np.sin(thetas), jnp.float32).reshape(theta_bins, 1)
+    n_trips = ((jnp.max(counts) + _HOUGH_ROWS - 1) // _HOUGH_ROWS
+               ).astype(jnp.int32).reshape(1, 1)
+
+    kernel = _make_hough_kernel(numrho, n_hi, w)
+    votes = pl.pallas_call(
+        kernel,
+        grid=(theta_bins,),
+        out_shape=jax.ShapeDtypeStruct((theta_bins, n_hi, _HOUGH_LO), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            # full trig tables in SMEM, indexed by program_id (per-step
+            # (1,1) SMEM blocks fail Mosaic's block-shape divisibility check)
+            pl.BlockSpec((theta_bins, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((theta_bins, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            # whole edge list stays VMEM-resident across all theta steps
+            pl.BlockSpec((kb, _HOUGH_BANDS), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HOUGH_BANDS), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_hi, _HOUGH_LO), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_hi, _HOUGH_LO), jnp.float32)],
+        interpret=interpret,
+    )(n_trips, cos_t, sin_t, ci_t, counts.reshape(1, _HOUGH_BANDS))
+    # drop the spare row's lane range and return in (numrho, theta) layout
+    return votes.reshape(theta_bins, n_hi * _HOUGH_LO)[:, :numrho].astype(jnp.int32).T
+
+
 def bilateral_pallas_applicable(img) -> bool:
     # DISABLED on hardware for now: Mosaic lowers each misaligned static
     # slice of the VMEM-resident padded image as a separate stack
