@@ -50,12 +50,19 @@ def hist256(gray: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
 
 
 def otsu_threshold(gray: jnp.ndarray):
-    """Otsu threshold (returns float threshold, same math as cv2).
+    """Otsu threshold (returns float threshold, same math as cv2)."""
+    return otsu_from_hist(hist256(gray))
+
+
+def otsu_from_hist(hist: jnp.ndarray):
+    """Otsu threshold from a 256-bin histogram.
 
     Vectorized re-statement of OpenCV's getThreshold_Otsu8u loop using
     prefix sums; the epsilon guards replicate the reference comparisons.
+    Split from otsu_threshold so callers with several inputs can batch the
+    histogram step (one MXU dispatch) and vmap this part.
     """
-    h = f32(hist256(gray))
+    h = f32(hist)
     n = jnp.sum(h)
     scale = 1.0 / n
     idx = jnp.arange(256, dtype=jnp.float32)

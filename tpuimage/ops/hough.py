@@ -127,6 +127,47 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
     return acc.T  # (numrho, theta_bins)
 
 
+def _is_peak(acc: jnp.ndarray, threshold: int) -> jnp.ndarray:
+    """cv2 findLocalMaximums: votes > threshold, strict vs rho-1/theta-1,
+    >= vs rho+1/theta+1."""
+    a = jnp.pad(acc, 1, mode="constant")
+    c = a[1:-1, 1:-1]
+    return ((c > a[:-2, 1:-1]) & (c >= a[2:, 1:-1]) &
+            (c > a[1:-1, :-2]) & (c >= a[1:-1, 2:]) &
+            (c > threshold))
+
+
+def hough_fold_median_angle(edges: jnp.ndarray, threshold: int,
+                            rho: float = 1.0, theta_bins: int = 180) -> jnp.ndarray:
+    """Median of fold-to-[-90, 90) line angles (degrees) over ALL Hough
+    peaks above threshold — the DocScanner deskew statistic
+    (DocScanner.py:219-228: np.median over every returned line's angle).
+
+    The angle of a (rho, theta) line is independent of rho, so the median
+    only needs per-theta PEAK COUNTS: a weighted median over 180 bins
+    (static fold ordering + cumsum) replaces the top-k peak extraction +
+    512-line sort the generic hough_lines path used — cheaper on TPU AND
+    exact for any number of lines (cv2 returns all peaks, uncapped).
+    Returns 0.0 when no line clears the threshold (reference behavior:
+    lines is None -> angle 0, DocScanner.py:221-224).
+    """
+    acc = hough_accumulator(edges, rho=rho, theta_bins=theta_bins)
+    counts = jnp.sum(_is_peak(acc, threshold).astype(jnp.int32), axis=0)  # (theta,)
+
+    theta_deg = np.arange(theta_bins) * (180.0 / theta_bins)
+    fold = np.mod(theta_deg + 90.0, 180.0) - 90.0
+    order = np.argsort(fold, kind="stable")          # static permutation
+    fold_sorted = jnp.asarray(fold[order], jnp.float32)
+    c = jnp.cumsum(counts[order])
+    n = c[-1]
+
+    def value_at_rank(q):  # 0-indexed rank -> fold value
+        return fold_sorted[jnp.argmax(c > q)]
+
+    med = 0.5 * (value_at_rank((n - 1) // 2) + value_at_rank(n // 2))
+    return jnp.where(n > 0, med, 0.0)
+
+
 def hough_lines(edges: jnp.ndarray, threshold: int, rho: float = 1.0,
                 theta_bins: int = 180, max_lines: int = 64):
     """cv2.HoughLines analog: returns (lines (max_lines, 2) [rho, theta],
@@ -134,12 +175,7 @@ def hough_lines(edges: jnp.ndarray, threshold: int, rho: float = 1.0,
     (rho, theta) with votes > threshold, ordered by votes (cv2 sorts too)."""
     acc = hough_accumulator(edges, rho=rho, theta_bins=theta_bins)
     numrho = acc.shape[0]
-    a = jnp.pad(acc, 1, mode="constant")
-    c = a[1:-1, 1:-1]
-    is_peak = ((c > a[:-2, 1:-1]) & (c >= a[2:, 1:-1]) &
-               (c > a[1:-1, :-2]) & (c >= a[1:-1, 2:]) &
-               (c > threshold))
-    votes = jnp.where(is_peak, c, 0)
+    votes = jnp.where(_is_peak(acc, threshold), acc, 0)
     flat = votes.reshape(-1)
     top_v, top_i = lax.top_k(flat, max_lines)
     r_idx = top_i // theta_bins

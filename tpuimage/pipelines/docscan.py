@@ -46,10 +46,10 @@ from tpuimage.ops.filters import gaussian_blur_u8
 from tpuimage.ops import color as colorops
 from tpuimage.ops.arith import subtract_u8, divide_u8, normalize_minmax, max_u8
 from tpuimage.ops.threshold import adaptive_threshold, threshold_binary
-from tpuimage.ops.histogram import otsu_threshold
+from tpuimage.ops.histogram import hist256, otsu_from_hist
 from tpuimage.ops.morphology import structuring_element, erode, dilate, morph_close, morph_blackhat
 from tpuimage.ops.edges import canny
-from tpuimage.ops.hough import hough_lines, hough_lines_p_det
+from tpuimage.ops.hough import hough_fold_median_angle, hough_lines_p_det
 from tpuimage.ops import geometry
 from tpuimage.ops.draw import draw_segments, draw_polyline_overlay
 from tpuimage.detect import contours as cnt
@@ -204,28 +204,16 @@ def perspective_warp(rgb: np.ndarray, quad: np.ndarray, page: str = "A4",
     return geometry.warp_perspective(jnp.asarray(rgb), M, th, tw)
 
 
-def _median_masked(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """np.median over vals[valid] (even count averages the two middles)."""
-    n = jnp.sum(valid.astype(jnp.int32))
-    big = jnp.float32(1e9)
-    s = jnp.sort(jnp.where(valid, vals, big))
-    lo = jnp.maximum((n - 1) // 2, 0)
-    hi = jnp.maximum(n // 2, 0)
-    med = 0.5 * (s[lo] + s[hi])
-    return jnp.where(n > 0, med, 0.0)
-
-
 def _deskew_angle(binary: jnp.ndarray, canny_low: int, canny_high: int,
                   max_rotate: float) -> jnp.ndarray:
     """DocScanner.py:217-231: Canny → HoughLines(thr 150) → median of
-    fold-to-[-90,90) angles, zeroed when |median| > max_rotate."""
+    fold-to-[-90,90) angles, zeroed when |median| > max_rotate.
+
+    hough_fold_median_angle computes the median over ALL peaks via
+    per-theta counts (no line cap — exact for arbitrarily dense pages,
+    unlike the earlier top-512 extraction)."""
     edges = canny(binary, canny_low, canny_high)
-    # cv2.HoughLines returns ALL lines above threshold; 512 covers dense
-    # text pages (median is order-independent, only truncation matters)
-    lines, valid = hough_lines(edges, threshold=150, max_lines=512)
-    theta_deg = lines[:, 1] * (180.0 / np.pi)
-    ang = jnp.mod(theta_deg + 90.0, 180.0) - 90.0
-    med = _median_masked(ang, valid)
+    med = hough_fold_median_angle(edges, threshold=150)
     return jnp.where(jnp.abs(med) > max_rotate, 0.0, med)
 
 
@@ -258,8 +246,6 @@ def _pre_deskew_stages(warped_rgb: jnp.ndarray, config: DocScanConfig) -> Dict[s
     mk = c.mask_blur_ksize + (c.mask_blur_ksize % 2 == 0)
     ink_bg = gaussian_blur_u8(stretched, ksize=mk)
     ink_sub = normalize_minmax(subtract_u8(ink_bg, stretched))
-    t_sub = jnp.maximum(jnp.round(otsu_threshold(ink_sub)) - c.mask_thresh_offset, 0)
-    mask_sub = threshold_binary(ink_sub, t_sub)
 
     bk = max(c.blackhat_ksize, 3)
     bk += (bk % 2 == 0)
@@ -267,7 +253,12 @@ def _pre_deskew_stages(warped_rgb: jnp.ndarray, config: DocScanConfig) -> Dict[s
     bh_h += (bh_h % 2 == 0)
     se_vert = structuring_element("rect", (bk, bh_h))
     bh = normalize_minmax(morph_blackhat(stretched, se_vert))
-    t_bh = jnp.maximum(jnp.round(otsu_threshold(bh)) - c.mask_thresh_offset, 0)
+
+    # the two independent Otsu solves share one batched histogram dispatch
+    hists = jax.vmap(hist256)(jnp.stack([ink_sub, bh]))
+    t_sub, t_bh = (jnp.maximum(jnp.round(otsu_from_hist(hists[i]))
+                               - c.mask_thresh_offset, 0) for i in range(2))
+    mask_sub = threshold_binary(ink_sub, t_sub)
     mask_bh = threshold_binary(bh, t_bh)
 
     ink_mask = max_u8(mask_sub, mask_bh)
