@@ -160,6 +160,29 @@ class TestScanBatch:
             np.testing.assert_array_equal(r["binary"],
                                           np.asarray(doc_result["binary"]))
 
+    def test_mixed_shape_batch(self, rng):
+        """Quad pages + use-whole fallbacks of two different shapes in one
+        batch: each shape group processes separately, every result matches
+        the per-image process_document path (scan_batch docstring)."""
+        from PIL import Image
+        cfg = docscan.DocScanConfig(scale_long=200, mask_blur_ksize=15,
+                                    block_size=15)
+        flat_a = np.full((120, 160, 3), 200, np.uint8)           # landscape
+        flat_b = rng.integers(180, 220, size=(160, 100, 3)).astype(np.uint8)
+        with Image.open(DOC1) as im:
+            doc = np.asarray(im.convert("RGB"))
+        inputs = [flat_a, doc, flat_b, flat_a]
+        results = docscan.scan_batch(inputs, config=cfg)
+        assert all("binary" in r for r in results)
+        shapes = [r["binary"].shape for r in results]
+        assert shapes[0] == shapes[3] and shapes[0] != shapes[2]
+        for inp, r in zip(inputs, results):
+            single = docscan.process_document(inp, out_dir=None,
+                                              save_stages=False, config=cfg)
+            assert r["use_whole"] == single["use_whole"]
+            np.testing.assert_array_equal(r["binary"],
+                                          np.asarray(single["binary"]))
+
 
 class TestFallback:
     def test_use_whole_on_featureless_image(self, tmp_path):

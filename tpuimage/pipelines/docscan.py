@@ -427,12 +427,23 @@ def _finish_document(result: dict, out_dir: Optional[str], do_ocr: bool) -> dict
 def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
                mesh=None) -> list:
     """Batched serving path: localize each document on host (cheap,
-    per-image), stack the warped pages (static page shape), and run the
-    fused post-warp program ONCE over the whole batch — DP-sharded over a
-    device mesh when one is given. Returns a list of per-image dicts
-    {quad, use_whole, binary}. Per-image failures are isolated (the
-    reference's try/except-continue pattern): failed entries carry
-    {"error": ...} instead.
+    per-image), stack the warped pages, and run the fused post-warp
+    program per SHAPE GROUP — DP-sharded over a device mesh when one is
+    given. Returns a list of per-image dicts {quad, use_whole, binary}.
+    Per-image failures are isolated (the reference's try/except-continue
+    pattern): failed entries carry {"error": ...} instead.
+
+    Shape handling: quad-detected pages all share the static page geometry
+    (portrait/landscape A4 at scale_long — at most 2 shapes per config and
+    2 cached compiles). Use-whole fallbacks keep the reference's
+    resize_long_side semantics, whose output shape depends on the input
+    aspect — each DISTINCT fallback shape is its own group and first
+    occurrence pays a compile (20-60 s over the axon tunnel). Padding them
+    to the dominant page shape would bound compiles but silently change
+    the numbers: the pipeline's min-max normalizations and Otsu solves are
+    global statistics, so padded pixels would shift every threshold.
+    Exactness wins; callers who need bounded compiles should pre-resize
+    their fallback inputs to a common aspect.
 
     This is the scale-out replacement for calling process_document in a
     loop: one jit dispatch amortizes the whole batch (SURVEY.md §2.3 DP).
@@ -455,8 +466,6 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
             else:
                 warped = np.asarray(geometry.resize_long_side(
                     jnp.asarray(rgb), config.scale_long, interpolation="area"))
-            # batch members must share the page shape; pad/crop the
-            # use-whole fallbacks to the dominant A4 portrait geometry
             metas.append({"quad": quad, "use_whole": use_whole})
             pages.append(warped)
         except Exception as e:
