@@ -41,6 +41,12 @@ _MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 _STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
+# torch nn.LayerNorm (which CLIP/open_clip use) defaults to eps=1e-5;
+# flax defaults to 1e-6 — converted checkpoints need torch semantics
+# (caught by the numpy-reference verification, tests/test_clip_numerics.py)
+_LN = functools.partial(nn.LayerNorm, epsilon=1e-5)
+
+
 class _MHA(nn.Module):
     width: int
     heads: int
@@ -73,8 +79,8 @@ class _Block(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         x = x + _MHA(self.width, self.heads, name="attn")(
-            nn.LayerNorm(name="ln_1")(x), mask)
-        h = nn.LayerNorm(name="ln_2")(x)
+            _LN(name="ln_1")(x), mask)
+        h = _LN(name="ln_2")(x)
         h = nn.Dense(4 * self.width, name="mlp_fc")(h)
         if self.quick_gelu:
             # OpenAI-pretrained CLIP checkpoints ("*-quickgelu" in open_clip)
@@ -109,11 +115,11 @@ class VisionTower(nn.Module):
         pos = self.param("positional_embedding", nn.initializers.normal(0.02),
                          (x.shape[1], self.width))
         x = x + pos
-        x = nn.LayerNorm(name="ln_pre")(x)
+        x = _LN(name="ln_pre")(x)
         for i in range(self.layers):
             x = _Block(self.width, self.heads, self.quick_gelu,
                        name=f"block_{i}")(x)
-        x = nn.LayerNorm(name="ln_post")(x[:, 0])
+        x = _LN(name="ln_post")(x[:, 0])
         proj = self.param("proj", nn.initializers.normal(0.02),
                           (self.width, self.out_dim))
         return x @ proj
@@ -140,7 +146,7 @@ class TextTower(nn.Module):
         for i in range(self.layers):
             x = _Block(self.width, self.heads, self.quick_gelu,
                        name=f"block_{i}")(x, mask)
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = _LN(name="ln_final")(x)
         eot = jnp.argmax(tokens, axis=-1)     # highest id = end-of-text
         x = x[jnp.arange(x.shape[0]), eot]
         proj = self.param("text_projection", nn.initializers.normal(0.01),
@@ -263,6 +269,22 @@ def convert_openclip_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         text[f"block_{i}"] = block(f"transformer.resblocks.{i}", 512)
 
     return {"vision": vision, "text": text}
+
+
+def compute_text_features(params: Dict[str, Any], tokens: np.ndarray,
+                          quick_gelu: bool = False) -> np.ndarray:
+    """Run the text tower over tokenized prompts: (B, 77) int32 -> (B, 512).
+
+    This IS the ``__text_features__`` precompute contract for
+    load_from_checkpoint: with real weights,
+    ``tokens = Tokenizer(bpe_path).encode_batch([PROMPTS[l] for l in LABELS])``
+    and the result (pre-normalization — ClipZeroShot normalizes) is stored
+    in the .npz under ``__text_features__``. The prompts are fixed
+    (AI_classification.py:51-56), so this runs once per checkpoint, never
+    at serving time."""
+    tower = TextTower(quick_gelu=quick_gelu)
+    return np.asarray(tower.apply({"params": params["text"]},
+                                  jnp.asarray(tokens, jnp.int32)))
 
 
 def load_from_checkpoint(path: str) -> ClipZeroShot:
