@@ -36,6 +36,33 @@ class TestCLIs:
         landscape.main([tiny_image, "--out", str(out)])
         assert (out / "landscape_metrics.csv").exists()
 
+    def test_landscape_report_and_compare(self, tiny_image, tmp_path):
+        from tpuimage.cli import landscape
+        out = tmp_path / "lr"
+        landscape.main([tiny_image, "--out", str(out), "--report", "--compare"])
+        assert (out / "img_report.png").exists()
+        assert (out / "img_compare.png").exists()
+
+    def test_night_report_and_compare(self, tiny_image, tmp_path):
+        from tpuimage.cli import night
+        out = tmp_path / "nr"
+        night.main([tiny_image, "--out", str(out), "--report", "--compare"])
+        assert (out / "night_enhanced_panel.png").exists()
+        assert (out / "night_compare.png").exists()
+
+
+class TestCompareComposite:
+    def test_layout_and_mixed_shapes(self, rng):
+        from tpuimage.io.report import compare_composite
+        a = rng.integers(0, 256, size=(60, 40, 3), dtype=np.uint8)
+        b = rng.integers(0, 256, size=(80, 50), dtype=np.uint8)  # gray, taller
+        out = compare_composite(a, b, labels=("in", "out"))
+        assert out.dtype == np.uint8 and out.ndim == 3
+        assert out.shape[1] == 40 + 4 + 50
+        assert out.shape[0] == 80 + 18   # tallest pane + label bar
+        # the right pane carries b (letterboxed); divider column is white
+        assert (out[:, 40 + 2] == 255).all()
+
     def test_face_no_eyes(self, tiny_image, tmp_path):
         from tpuimage.cli import face
         out = tmp_path / "f"

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gui-preset", action="store_true",
                    help="use the AI_classification override config that "
                         "produced the scan_03..08 goldens")
+    p.add_argument("--compare", action="store_true",
+                   help="write a side-by-side input/binary composite "
+                        "(compare-viewer replacement)")
     return p
 
 
@@ -71,8 +74,16 @@ def main(argv=None) -> None:
             max_rotate=args.max_rotate,
             fallback_use_whole=args.fallback_use_whole,
             min_quad_area_ratio=args.min_quad_area_ratio)
-    docscan.process_document(args.input, out_dir=args.out, config=cfg,
-                             do_ocr=args.ocr)
+    res = docscan.process_document(args.input, out_dir=args.out, config=cfg,
+                                   do_ocr=args.ocr)
+    if args.compare:
+        import os
+        import numpy as np
+        from tpuimage.io.imageio import load_image_rgb
+        from tpuimage.io.report import write_compare
+        write_compare(os.path.join(args.out, "scan_compare.png"),
+                      load_image_rgb(args.input), np.asarray(res["binary"]),
+                      labels=("input", "scanned"))
     print(f"Done. Outputs in {args.out}")
 
 

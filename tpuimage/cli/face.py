@@ -21,6 +21,9 @@ def main(argv=None) -> None:
                    default=None, help="override the kurtosis classifier")
     p.add_argument("--variant", choices=["script", "gui"], default="script")
     p.add_argument("--no-eyes", action="store_true", help="skip the eye pop")
+    p.add_argument("--compare", action="store_true",
+                   help="write a side-by-side before/after composite "
+                        "(compare-viewer replacement)")
     args = p.parse_args(argv)
     rgb = load_image_rgb(args.input)
     res = enhance_face(rgb, noise_type=args.noise_type,
@@ -28,6 +31,10 @@ def main(argv=None) -> None:
                        variant=args.variant)
     ensure_dir(args.out)
     save_image(os.path.join(args.out, "enhanced_face.jpg"), res["final"])
+    if args.compare:
+        from tpuimage.io.report import write_compare
+        write_compare(os.path.join(args.out, "face_compare.png"),
+                      rgb, np.asarray(res["final"]))
     for k in ("skin_mask", "skin_enhanced", "features_popped"):
         save_image(os.path.join(args.out, f"face_{k}.png"), res[k])
     print(f"noise={res['noise_type']} eyes={res['eyes']}. Outputs in {args.out}")

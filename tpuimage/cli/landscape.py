@@ -35,6 +35,12 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0,
                    help="seed for the degradation noise (the reference used "
                         "unseeded np.random)")
+    p.add_argument("--report", action="store_true",
+                   help="render the Landscape.py:270-356 2x4 matplotlib "
+                        "report per image (saved, not shown)")
+    p.add_argument("--compare", action="store_true",
+                   help="write a side-by-side before/after composite per "
+                        "image (compare-viewer replacement)")
     args = p.parse_args(argv)
     files = collect(args.input)
     if not files:
@@ -52,6 +58,18 @@ def main(argv=None) -> None:
             for k in ("enhanced", "degraded", "restored"):
                 save_image(os.path.join(args.out, f"{stem}_{k}.png"),
                            np.asarray(res[k]))
+            if args.report:
+                from tpuimage.io.report import landscape_report
+                landscape_report(
+                    os.path.join(args.out, f"{stem}_report.png"),
+                    os.path.basename(f), rgb, np.asarray(res["enhanced"]),
+                    np.asarray(res["degraded"]), np.asarray(res["restored"]),
+                    float(res["psnr_enhanced"]), float(res["ssim_enhanced"]),
+                    float(res["psnr_restored"]), float(res["ssim_restored"]))
+            if args.compare:
+                from tpuimage.io.report import write_compare
+                write_compare(os.path.join(args.out, f"{stem}_compare.png"),
+                              rgb, np.asarray(res["enhanced"]))
             row = {"file": os.path.basename(f),
                    "psnr_enhanced": float(res["psnr_enhanced"]),
                    "ssim_enhanced": float(res["ssim_enhanced"]),

@@ -25,6 +25,12 @@ def main(argv=None) -> None:
     p.add_argument("--histograms", action="store_true",
                    help="write per-stage 256-bin histograms as CSV "
                         "(replaces the matplotlib panels)")
+    p.add_argument("--report", action="store_true",
+                   help="render the asm.py:32-51 image+histogram panels "
+                        "per stage (saved, not shown)")
+    p.add_argument("--compare", action="store_true",
+                   help="write a side-by-side before/after composite "
+                        "(compare-viewer replacement)")
     args = p.parse_args(argv)
     rgb = load_image_rgb(args.input)
     ensure_dir(args.out)
@@ -40,6 +46,15 @@ def main(argv=None) -> None:
             h = np.asarray(hist256(jnp.asarray(g)))
             np.savetxt(os.path.join(args.out, f"night_{name}_hist.csv"), h,
                        fmt="%d")
+        if args.report:
+            from tpuimage.io.report import night_panel
+            night_panel(os.path.join(args.out, f"night_{name}_panel.png"),
+                        np.asarray(img), name)
+    if args.compare:
+        from tpuimage.io.report import write_compare
+        write_compare(os.path.join(args.out, "night_compare.png"),
+                      np.asarray(stages["original"]),
+                      np.asarray(stages["enhanced"]))
     print(f"Done. Outputs in {args.out}")
 
 
