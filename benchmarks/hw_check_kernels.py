@@ -1,0 +1,65 @@
+"""Hardware smoke-check: compile + run the Pallas kernels on the real chip
+and compare against the XLA formulations. Usage:
+    python benchmarks/hw_check_kernels.py [bilateral|hough|gauss] ...
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+what = set(sys.argv[1:]) or {"bilateral", "hough"}
+
+
+def timeit(fn, n=5):
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        fn()
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    print("backend:", jax.default_backend())
+    rng = np.random.default_rng(0)
+
+    if "bilateral" in what:
+        from tpuimage.ops.bilateral import bilateral_filter
+        from tpuimage.ops.pallas_kernels import bilateral_pallas_applicable
+        img = rng.integers(0, 256, (1200, 849), np.uint8)
+        x = jnp.asarray(img)
+        print("applicable:", bilateral_pallas_applicable(img, 9, 75.0))
+        f_scan = jax.jit(lambda a: bilateral_filter(a, 9, 75.0, 75.0, impl="scan"))
+        f_pal = jax.jit(lambda a: bilateral_filter(a, 9, 75.0, 75.0, impl="pallas"))
+        a = np.asarray(f_scan(x))
+        print("scan ok")
+        b = np.asarray(f_pal(x))
+        print("pallas ok")
+        d = np.abs(a.astype(int) - b.astype(int))
+        print("bilateral maxdiff", d.max(), "fracdiff", float((d > 0).mean()))
+        ts = timeit(lambda: np.asarray(f_scan(x))[0, 0])
+        tp = timeit(lambda: np.asarray(f_pal(x))[0, 0])
+        print(f"bilateral scan {ts*1e3:.2f} ms  pallas {tp*1e3:.2f} ms")
+
+    if "hough" in what:
+        from tpuimage.ops.hough import hough_accumulator
+        edges = (rng.random((1200, 849)) < 0.05).astype(np.uint8) * 255
+        e = jnp.asarray(edges)
+        f_x = jax.jit(lambda a: hough_accumulator(a, impl="xla"))
+        f_p = jax.jit(lambda a: hough_accumulator(a, impl="pallas"))
+        a = np.asarray(f_x(e))
+        print("xla ok")
+        b = np.asarray(f_p(e))
+        print("pallas ok, equal:", np.array_equal(a, b))
+        tx = timeit(lambda: np.asarray(f_x(e))[0, 0])
+        tp = timeit(lambda: np.asarray(f_p(e))[0, 0])
+        print(f"hough xla {tx*1e3:.2f} ms  pallas(int8+clip) {tp*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -51,8 +51,24 @@ def _tap_offsets(radius: int):
 
 
 def bilateral_filter(img: jnp.ndarray, d: int, sigma_color: float,
-                     sigma_space: float) -> jnp.ndarray:
-    """cv2.bilateralFilter on uint8 HW or HWC(3)."""
+                     sigma_space: float, impl: str = "auto") -> jnp.ndarray:
+    """cv2.bilateralFilter on uint8 HW or HWC(3).
+
+    impl: "auto" = Pallas row-band kernel on TPU for grayscale inputs that
+    fit its VMEM budget / the lax.scan tap loop elsewhere; "scan" /
+    "pallas" force a path (the Pallas kernel runs interpreted off TPU).
+    """
+    if impl == "auto":
+        import jax
+        from tpuimage.ops.pallas_kernels import bilateral_pallas_applicable
+        on_tpu = jax.default_backend() not in ("cpu",)
+        impl = ("pallas" if on_tpu and bilateral_pallas_applicable(
+            img, d, sigma_space) else "scan")
+    if impl == "pallas":
+        import jax
+        from tpuimage.ops.pallas_kernels import bilateral_gray_pallas
+        return bilateral_gray_pallas(img, d, sigma_color, sigma_space,
+                                     interpret=jax.default_backend() == "cpu")
     radius, sc, ss = _params(d, sigma_color, sigma_space)
     taps = _tap_offsets(radius)
     gauss_color = -0.5 / (sc * sc)

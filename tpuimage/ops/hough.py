@@ -87,13 +87,22 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
         flat = edges.reshape(-1).astype(jnp.int32)
         m = jnp.pad(flat, (0, n_over_b * _HOUGH_BANDS - n)
                     ).reshape(n_over_b, _HOUGH_BANDS).T
+        # (a packed single-key top_k — (edge<<23)|idx sorting one array
+        # instead of co-sorting values+indices — measured SLOWER than the
+        # plain co-sort on v5e: 6.1 vs 5.4 ms at batch 8; keep the co-sort)
         vals, ci = lax.top_k(m, kk)                 # (128, kk), ties keep order
         counts = jnp.sum((vals > 0).astype(jnp.int32), axis=1)
         ci_t = ci.T
         if kb > kk:
             ci_t = jnp.pad(ci_t, ((0, kb - kk), (0, 0)))
+        # statically reachable rho bins: x*cos(t) + y*sin(t) over the image
+        # rectangle and t in [0, pi) lies in [-(w-1), hypot(w-1, h-1)]
+        c_mid = (numrho - 1) // 2
+        rho_base = max(c_mid - (w - 1) - 1, 0)
+        rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, h - 1))) + 1, numrho - 1)
         return hough_votes_pallas(ci_t, counts, numrho, w, theta_bins,
-                                  interpret=not on_tpu)
+                                  interpret=not on_tpu, rho_base=rho_base,
+                                  rho_bins=rho_hi - rho_base + 1)
 
     thetas = np.arange(theta_bins) * (np.pi / theta_bins)
     cos_t = jnp.asarray(np.cos(thetas) / rho, dtype=jnp.float32)

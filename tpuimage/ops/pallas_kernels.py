@@ -1,15 +1,26 @@
 """Pallas TPU kernels for stencil-heavy ops.
 
-First kernel: the bilateral filter's tap loop (cv2.bilateralFilter 8u gray
-path — DocScanner.py:42 preprocess). The XLA scan version re-materializes
-the (num, den) carry per tap; here the padded image and both accumulators
-live in VMEM for the whole tap loop (one HBM read + one write total), with
-tap offsets scalar-prefetched from SMEM driving dynamic slices.
+Bilateral filter (cv2.bilateralFilter 8u gray path — DocScanner.py:42
+preprocess): the XLA scan version re-materializes the (num, den) carry per
+tap to HBM; here the padded image lives in VMEM for the whole tap loop
+(one HBM read + one write total) and the kernel iterates a row-band grid.
 
-Numerics are identical to ops.bilateral (same tap set, same space/color
-weight expressions, cvRound output), so it inherits the same ±1 LSB
-contract vs cv2. Falls back to the scan implementation for color images
-or images whose padded f32 copy would not fit VMEM.
+Hardware-viability lessons (round 1 -> round 2):
+- An unrolled Python tap loop over misaligned STATIC slices of a
+  VMEM-resident image makes Mosaic materialize every slice at once
+  (61 taps x ~1 MB blew the 16 MB scoped-VMEM limit). The kernel now
+  runs a fori_loop over a tap table in SMEM: one live slice at a time.
+- Dynamic LANE offsets force relayouts (10x slowdowns measured on the
+  Hough kernel); column shifts are done with pltpu.roll (native lane
+  rotation) on a lane-aligned padded width, with the wrapped lanes
+  falling outside the cropped output region.
+- The grid walks row bands so scratch accumulators stay small and the
+  kernel scales to any image height at fixed VMEM cost.
+
+Numerics are identical to ops.bilateral (same tap ORDER, same space/color
+weight expressions, same f32 accumulation, cvRound output), so it inherits
+the same ±1 LSB contract vs cv2. Falls back to the scan implementation for
+color images or images whose padded f32 copy would not fit VMEM.
 """
 from __future__ import annotations
 
@@ -23,32 +34,50 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpuimage.core.dtypes import saturate_u8
 
-# padded f32 image + 2 f32 accumulators + u8 out must fit in ~16 MB VMEM
-_VMEM_BUDGET_PIXELS = 1_100_000
+# whole padded f32 image must fit in VMEM alongside the band scratch
+_VMEM_PADDED_BYTES = 12 * 1024 * 1024
+_BAND_ROWS = 128
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _make_bilateral_kernel(taps, space_weights, gauss_color):
-    """Kernel factory with the tap set baked in statically (Mosaic needs
-    statically-analyzable slice offsets; the tap set is already a static
-    function of (d, sigma_space))."""
+def _make_bilateral_band_kernel(th: int, wp: int, gauss_color: float,
+                                ntaps: int):
+    """One grid step computes output rows [t*th, (t+1)*th): fori_loop over
+    the SMEM tap table; each tap is a dynamic-SUBLANE slice of the padded
+    image plus a lane rotation (see module docstring)."""
 
-    def kernel(padded_ref, center_ref, out_ref, num_ref, den_ref):
-        h, w = center_ref.shape
-        # accumulate through the scratch refs so each tap's temporaries die
-        # immediately (a functional accumulation kept all taps live and blew
-        # the VMEM stack)
-        num_ref[:] = jnp.zeros((h, w), jnp.float32)
-        den_ref[:] = jnp.zeros((h, w), jnp.float32)
-        for (oy, ox), sw in zip(taps, space_weights):
-            view = padded_ref[oy:oy + h, ox:ox + w]
-            diff = jnp.abs(view - center_ref[:])
+    def kernel(dy_ref, dx_ref, sw_ref, padded_ref, center_ref, out_ref,
+               num_ref, den_ref):
+        t = pl.program_id(0)
+        num_ref[:] = jnp.zeros((th, wp), jnp.float32)
+        den_ref[:] = jnp.zeros((th, wp), jnp.float32)
+        c = center_ref[:]
+
+        def body(i, _):
+            dy = dy_ref[i, 0]
+            dx = dx_ref[i, 0]
+            sw = sw_ref[i, 0]
+            # Mosaic requires dynamic sublane offsets provably 8-aligned:
+            # load an 8-aligned slab one stripe taller, then rotate the
+            # sub-stripe remainder in with a sublane roll
+            base = (dy // 8) * 8
+            rem = dy - base
+            slab = padded_ref[pl.ds(t * th + base, th + 8), :]
+            slab = pltpu.roll(slab, (th + 8) - rem, axis=0)
+            view = slab[:th, :]
+            # rolled[:, x] = view[:, x + dx]; wrapped lanes land at
+            # x >= wp - dx >= w (cropped by the caller)
+            view = pltpu.roll(view, wp - dx, axis=1)
+            diff = jnp.abs(view - c)
             wgt = jnp.exp(diff * diff * gauss_color) * sw
             num_ref[:] = num_ref[:] + view * wgt
             den_ref[:] = den_ref[:] + wgt
+            return 0
+
+        jax.lax.fori_loop(0, ntaps, body, 0)
         # Mosaic can't cast f32->u8 directly; emit int32, caller casts
         out_ref[:] = jnp.clip(jnp.rint(num_ref[:] / den_ref[:]), 0, 255
                               ).astype(jnp.int32)
@@ -60,7 +89,7 @@ def _make_bilateral_kernel(taps, space_weights, gauss_color):
                                              "interpret"))
 def bilateral_gray_pallas(img: jnp.ndarray, d: int, sigma_color: float,
                           sigma_space: float, interpret: bool = False) -> jnp.ndarray:
-    """cv2.bilateralFilter on uint8 HW via one fused VMEM kernel."""
+    """cv2.bilateralFilter on uint8 HW via one fused VMEM tap loop."""
     from tpuimage.ops.bilateral import _params, _tap_offsets
     from tpuimage.core.borders import pad2d, BORDER_REFLECT_101
 
@@ -70,40 +99,46 @@ def bilateral_gray_pallas(img: jnp.ndarray, d: int, sigma_color: float,
     gs = -0.5 / (ss * ss)
 
     h, w = int(img.shape[0]), int(img.shape[1])
-    hp = _round_up(h, 8)
-    wp = _round_up(w, 128)
-    # pad to lane-aligned shape; stencil border stays reflect-101 around the
-    # REAL image, extra alignment rows/cols replicate (cropped afterwards)
-    x = pad2d(img, 0, hp - h, 0, wp - w, mode="edge")
-    xf = x.astype(jnp.float32)
-    p = pad2d(xf, radius, radius, radius, radius, mode=BORDER_REFLECT_101)
-    # re-fix the reflect border to reference the real image, not the
-    # alignment padding: reflect-101 of the padded copy equals reflect of
-    # the original for the top/left; bottom/right alignment area is cropped
-    # before it can influence real output pixels only if radius <= pad...
-    # (alignment pad >= 0; for exactness we pad the ORIGINAL reflect first)
-    p_exact = pad2d(img.astype(jnp.float32), radius, radius, radius, radius,
-                    mode=BORDER_REFLECT_101)
-    p = jax.lax.dynamic_update_slice(p, p_exact, (0, 0))
+    th = min(_BAND_ROWS, _round_up(h, 8))
+    hp = _round_up(h, th)
+    wp = _round_up(w + 2 * radius, 128)
+    # reflect-101 halo around the REAL image first (exact border), then
+    # edge-pad to the lane/band-aligned shape (cropped afterwards)
+    pf = pad2d(img.astype(jnp.float32), radius, radius, radius, radius,
+               mode=BORDER_REFLECT_101)
+    # +8 bottom rows: the kernel reads an 8-aligned slab one stripe taller
+    # than the band to realize misaligned sublane offsets via roll
+    p = pad2d(pf, 0, hp - h + 8, 0, wp - (w + 2 * radius), mode="edge")
+    center = pad2d(img.astype(jnp.float32), 0, hp - h, 0, wp - w, mode="edge")
 
-    tap_list = tuple((radius + dy, radius + dx) for (dy, dx, _) in taps)
-    sw_list = tuple(float(np.float32(np.exp(r * r * gs))) for (_, _, r) in taps)
-    kernel = _make_bilateral_kernel(tap_list, sw_list, float(gc))
+    dy = np.asarray([[radius + t[0]] for t in taps], np.int32)
+    dx = np.asarray([[radius + t[1]] for t in taps], np.int32)
+    sw = np.asarray([[np.float32(np.exp(t[2] * t[2] * gs))] for t in taps],
+                    np.float32)
+    kernel = _make_bilateral_band_kernel(th, wp, float(gc), len(taps))
 
     out = pl.pallas_call(
         kernel,
+        grid=(hp // th,),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # padded image
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # center
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tap dy table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tap dx table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # space weights
+            # whole padded image stays VMEM-resident across all bands
+            pl.BlockSpec((hp + 2 * radius + 8, wp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, wp), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # center band
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((th, wp), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((hp, wp), jnp.float32),
-            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((th, wp), jnp.float32),
+            pltpu.VMEM((th, wp), jnp.float32),
         ],
         interpret=interpret,
-    )(p, xf)
+    )(jnp.asarray(dy), jnp.asarray(dx), jnp.asarray(sw), p, center)
     return out[:h, :w].astype(jnp.uint8)
 
 
@@ -116,7 +151,8 @@ _HOUGH_BANDS = 128   # compaction bands (edge e lives in band flat_idx % 128)
 _HOUGH_ROWS = 64     # rows per in-kernel chunk (chunk = ROWS * BANDS edges)
 
 
-def _make_hough_kernel(numrho: int, n_hi: int, w: int):
+def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int, w: int,
+                       mxu_dtype, acc_dtype, rows: int = _HOUGH_ROWS):
     """votes[theta] = sum_e onehot_hi(r_e)^T @ onehot_lo(r_e) for one theta.
 
     Performance notes (measured on the axon chip, 8x 849x1200 pages):
@@ -129,38 +165,45 @@ def _make_hough_kernel(numrho: int, n_hi: int, w: int):
     - Edges arrive band-compacted (band b = flat_idx %% 128 at lane b, each
       band's edges packed to the front), so the chunk loop's trip count is
       dynamic: ceil(max_band_count / ROWS) — padding beyond the true edge
-      count costs nothing. Total: ~8 ms voting + ~7 ms banded top_k.
+      count costs nothing.
+    - The caller clips the rho axis to the REACHABLE bins (r in
+      [-(w-1), hypot(w-1, h-1)] by construction, ~57%% of cv2's numrho for
+      A4 pages): r_shift re-bases the bin index, n_hi shrinks accordingly.
+    - bf16 0/1 one-hots with f32 accumulation are EXACT for counts < 2^24
+      and measured FASTER than s8/s32 on v5e Mosaic (7.4 vs 10.7 ms at
+      batch 8 — the s8 dot does not hit the chip's 2x int8 rate), so bf16
+      is the default; the int8 path is kept selectable (mxu_dtype).
     """
     invalid_bin = n_hi * _HOUGH_LO - 1  # spare hi row, dropped by caller
-    chunk = _HOUGH_ROWS * _HOUGH_BANDS
+    chunk = rows * _HOUGH_BANDS
 
     def kernel(nt_ref, ct_ref, st_ref, ci_ref, cnt_ref, out_ref, acc_ref):
         t = pl.program_id(0)
         ct = ct_ref[t, 0]
         st = st_ref[t, 0]
-        acc_ref[:] = jnp.zeros((n_hi, _HOUGH_LO), jnp.float32)
-        band = jax.lax.broadcasted_iota(jnp.int32, (_HOUGH_ROWS, _HOUGH_BANDS), 1)
+        acc_ref[:] = jnp.zeros((n_hi, _HOUGH_LO), acc_dtype)
+        band = jax.lax.broadcasted_iota(jnp.int32, (rows, _HOUGH_BANDS), 1)
 
         def body(c, _):
-            ci = ci_ref[pl.ds(c * _HOUGH_ROWS, _HOUGH_ROWS), :]
-            rowj = c * _HOUGH_ROWS + jax.lax.broadcasted_iota(
-                jnp.int32, (_HOUGH_ROWS, _HOUGH_BANDS), 0)
+            ci = ci_ref[pl.ds(c * rows, rows), :]
+            rowj = c * rows + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, _HOUGH_BANDS), 0)
             ok = rowj < cnt_ref[0, :]
             gi = ci * _HOUGH_BANDS + band           # flat image index
             y = (gi // w).astype(jnp.float32)
             x = (gi % w).astype(jnp.float32)
-            r = jnp.round(x * ct + y * st).astype(jnp.int32) + (numrho - 1) // 2
-            r = jnp.where(ok, jnp.clip(r, 0, invalid_bin), invalid_bin
-                          ).reshape(1, chunk)
+            r = jnp.round(x * ct + y * st).astype(jnp.int32) + r_shift
+            ok = ok & (r >= 0) & (r < nbins)
+            r = jnp.where(ok, r, invalid_bin).reshape(1, chunk)
             hi = r // _HOUGH_LO
             lo = r % _HOUGH_LO
             ohT_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (n_hi, chunk), 0)
-                      ).astype(jnp.bfloat16)
+                      ).astype(mxu_dtype)
             ohT_lo = (lo == jax.lax.broadcasted_iota(jnp.int32, (_HOUGH_LO, chunk), 0)
-                      ).astype(jnp.bfloat16)
+                      ).astype(mxu_dtype)
             acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
                 ohT_hi, ohT_lo, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=acc_dtype)
             return 0
 
         jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
@@ -170,33 +213,49 @@ def _make_hough_kernel(numrho: int, n_hi: int, w: int):
 
 
 @functools.partial(jax.jit, static_argnames=("numrho", "w", "theta_bins",
-                                             "interpret"))
+                                             "interpret", "rho_base",
+                                             "rho_bins", "mxu", "rows"))
 def hough_votes_pallas(ci_t: jnp.ndarray, counts: jnp.ndarray, numrho: int,
                        w: int, theta_bins: int = 180,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False, rho_base: int = 0,
+                       rho_bins: int = 0, mxu: str = "bf16",
+                       rows: int = _HOUGH_ROWS) -> jnp.ndarray:
     """(numrho, theta_bins) int32 vote accumulator over a band-compacted
     edge list — the Pallas production path of ops.hough.hough_accumulator
-    (identical counts: same f32 round, same bf16 one-hot / f32-accumulate
-    contraction).
+    (identical counts: same f32 round, same one-hot matmul contraction).
 
     ci_t: (kb, 128) int32 — per-band in-band indices from a banded top_k,
     transposed so valid edges are row-dense; counts: (128,) int32 edges per
-    band; w: image width (flat index = in_band_idx * 128 + band)."""
+    band; w: image width (flat index = in_band_idx * 128 + band).
+
+    rho_base/rho_bins clip the vote matrix to bins
+    [rho_base, rho_base + rho_bins) — callers pass the statically reachable
+    rho range (ops.hough computes it from h, w); bins outside are provably
+    zero and are padded back, so the returned accumulator is identical to
+    the unclipped one. mxu: "int8" (s8 one-hots, int32 accumulation — 2x
+    MXU rate, exact) or "bf16" (0/1 bf16, f32 accumulation — exact < 2^24).
+    """
     kb = int(ci_t.shape[0])
-    assert kb % _HOUGH_ROWS == 0
-    n_hi = (numrho + _HOUGH_LO - 1) // _HOUGH_LO + 1  # +1 spare row
+    assert kb % rows == 0
+    if rho_bins <= 0:
+        rho_base, rho_bins = 0, numrho
+    n_hi = (rho_bins + _HOUGH_LO - 1) // _HOUGH_LO + 1  # +1 spare row
+    r_shift = (numrho - 1) // 2 - rho_base
+    mxu_dtype = jnp.int8 if mxu == "int8" else jnp.bfloat16
+    acc_dtype = jnp.int32 if mxu == "int8" else jnp.float32
 
     thetas = np.arange(theta_bins) * (np.pi / theta_bins)
     cos_t = jnp.asarray(np.cos(thetas), jnp.float32).reshape(theta_bins, 1)
     sin_t = jnp.asarray(np.sin(thetas), jnp.float32).reshape(theta_bins, 1)
-    n_trips = ((jnp.max(counts) + _HOUGH_ROWS - 1) // _HOUGH_ROWS
+    n_trips = ((jnp.max(counts) + rows - 1) // rows
                ).astype(jnp.int32).reshape(1, 1)
 
-    kernel = _make_hough_kernel(numrho, n_hi, w)
+    kernel = _make_hough_kernel(r_shift, n_hi, rho_bins, w, mxu_dtype,
+                                acc_dtype, rows)
     votes = pl.pallas_call(
         kernel,
         grid=(theta_bins,),
-        out_shape=jax.ShapeDtypeStruct((theta_bins, n_hi, _HOUGH_LO), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((theta_bins, n_hi, _HOUGH_LO), acc_dtype),
         in_specs=[
             pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
             # full trig tables in SMEM, indexed by program_id (per-step
@@ -213,20 +272,28 @@ def hough_votes_pallas(ci_t: jnp.ndarray, counts: jnp.ndarray, numrho: int,
         ],
         out_specs=pl.BlockSpec((1, n_hi, _HOUGH_LO), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_hi, _HOUGH_LO), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_hi, _HOUGH_LO), acc_dtype)],
         interpret=interpret,
     )(n_trips, cos_t, sin_t, ci_t, counts.reshape(1, _HOUGH_BANDS))
-    # drop the spare row's lane range and return in (numrho, theta) layout
-    return votes.reshape(theta_bins, n_hi * _HOUGH_LO)[:, :numrho].astype(jnp.int32).T
+    # drop the spare row's lane range, pad the clipped (provably zero-vote)
+    # rho range back, return in (numrho, theta) layout
+    v = votes.reshape(theta_bins, n_hi * _HOUGH_LO)[:, :rho_bins].astype(jnp.int32)
+    if rho_bins < numrho:
+        v = jnp.pad(v, ((0, 0), (rho_base, numrho - rho_base - rho_bins)))
+    return v.T
 
 
-def bilateral_pallas_applicable(img) -> bool:
-    # DISABLED on hardware for now: Mosaic lowers each misaligned static
-    # slice of the VMEM-resident padded image as a separate stack
-    # materialization (61 taps x ~1 MB blew the 16 MB scoped-VMEM limit).
-    # The kernel is numerically validated in interpret mode
-    # (tests/test_pallas.py); enabling it on hardware needs the
-    # manual-DMA halo-tiling pattern (grid over aligned output tiles, halo
-    # bands DMAd HBM->VMEM per tile) — tracked for the next round. The
-    # lax.scan formulation in ops.bilateral is the production path.
-    return False
+def bilateral_pallas_applicable(img, d: int = 9,
+                                sigma_space: float = 75.0) -> bool:
+    """True when the row-band kernel handles this input on hardware:
+    grayscale 2-D, and the whole padded f32 image fits the VMEM budget
+    (color images and oversize inputs use the ops.bilateral scan path)."""
+    if getattr(img, "ndim", 0) != 2:
+        return False
+    from tpuimage.ops.bilateral import _params
+    radius, _, _ = _params(d, 1.0, sigma_space)
+    h, w = int(img.shape[0]), int(img.shape[1])
+    th = min(_BAND_ROWS, _round_up(h, 8))
+    hp = _round_up(h, th)
+    wp = _round_up(w + 2 * radius, 128)
+    return (hp + 2 * radius) * wp * 4 <= _VMEM_PADDED_BYTES
