@@ -27,3 +27,22 @@ class TestPallasBilateral:
                                              interpret=True))
         b = np.asarray(bilateral_filter(jnp.asarray(img), 9, 75, 75))
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+class TestPallasGaussian:
+    @pytest.mark.parametrize("shape,ksize", [
+        ((97, 123), 9),     # odd sizes, small kernel
+        ((120, 255), 51),   # the docscan ink-mask blur
+        ((211, 173), 43),   # the docscan illumination blur (5% of min side)
+    ])
+    def test_bit_exact_vs_cv2_and_xla(self, rng, shape, ksize):
+        from tpuimage.ops.filters import gaussian_blur_u8
+        from tpuimage.ops.pallas_kernels import gaussian_blur_u8_pallas
+        img = rng.integers(0, 256, shape, np.uint8)
+        ref = cv2.GaussianBlur(img, (ksize, ksize), 0)
+        a = np.asarray(gaussian_blur_u8_pallas(jnp.asarray(img), ksize,
+                                               interpret=True))
+        b = np.asarray(gaussian_blur_u8(jnp.asarray(img), ksize=ksize,
+                                        impl="xla"))
+        np.testing.assert_array_equal(a, ref)
+        np.testing.assert_array_equal(a, b)

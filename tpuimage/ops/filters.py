@@ -106,11 +106,17 @@ def _sepconv_valid_f32(padded: jnp.ndarray, kx: jnp.ndarray, ky: jnp.ndarray) ->
 
 
 def gaussian_blur_u8(img: jnp.ndarray, ksize: int = 0, sigma: float = 0.0,
-                     border: str = BORDER_REFLECT_101) -> jnp.ndarray:
+                     border: str = BORDER_REFLECT_101,
+                     impl: str = "auto") -> jnp.ndarray:
     """cv2.GaussianBlur on uint8, bit-exact (fixed-point Q8.8 path).
 
     ksize==0 derives the kernel size from sigma like cv2's ``(0,0)`` form
     (DocScanner ``GaussianBlur(img,(0,0),radius)`` call sites).
+
+    impl: "auto" = fused Pallas band kernel on TPU for 2-D inputs with
+    ksize>=9 that fit VMEM (one HBM read+write vs 2*ksize shifted MACs) /
+    the XLA shifted-MAC form elsewhere; "xla" / "pallas" force a path.
+    Both are bit-exact (integer-valued f32 accumulation, order-free).
     """
     if ksize <= 0:
         if sigma <= 0:
@@ -118,6 +124,15 @@ def gaussian_blur_u8(img: jnp.ndarray, ksize: int = 0, sigma: float = 0.0,
         ksize = gaussian_ksize_from_sigma(sigma)
     if ksize == 1:
         return img
+    if border == BORDER_REFLECT_101 and impl != "xla":
+        import jax
+        from tpuimage.ops.pallas_kernels import (gaussian_blur_u8_pallas,
+                                                 gaussian_pallas_applicable)
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if impl == "pallas" or (impl == "auto" and on_tpu
+                                and gaussian_pallas_applicable(img, ksize)):
+            return gaussian_blur_u8_pallas(img, ksize, sigma,
+                                           interpret=not on_tpu)
     k = gaussian_kernel_q8(ksize, sigma).astype(np.float32)
     r = ksize // 2
     p = pad2d(f32(img), r, r, r, r, mode=border)

@@ -143,6 +143,105 @@ def bilateral_gray_pallas(img: jnp.ndarray, d: int, sigma_color: float,
 
 
 # ---------------------------------------------------------------------------
+# Separable fixed-point convolution (the cv2.GaussianBlur 8u Q8.8 path)
+# ---------------------------------------------------------------------------
+
+
+def _make_sepconv_band_kernel(th: int, wp: int, n: int):
+    """Separable conv over one row band: vertical pass via slab+sublane-roll
+    taps (same alignment trick as the bilateral kernel), horizontal pass via
+    lane rolls of the vertical result. Tap weights arrive in SMEM; the Q8.8
+    integer-valued f32 accumulation is order-independent (exact integers
+    < 2^24), so the simple 0..n-1 order reproduces ops.filters bit-for-bit."""
+
+    def kernel(kv_ref, kh_ref, padded_ref, out_ref, vacc_ref, hacc_ref):
+        t = pl.program_id(0)
+        vacc_ref[:] = jnp.zeros((th, wp), jnp.float32)
+
+        def vbody(i, _):
+            base = (i // 8) * 8
+            rem = i - base
+            slab = padded_ref[pl.ds(t * th + base, th + 8), :]
+            slab = pltpu.roll(slab, (th + 8) - rem, axis=0)
+            vacc_ref[:] = vacc_ref[:] + slab[:th, :] * kv_ref[i, 0]
+            return 0
+
+        jax.lax.fori_loop(0, n, vbody, 0)
+
+        hacc_ref[:] = jnp.zeros((th, wp), jnp.float32)
+
+        def hbody(j, _):
+            view = pltpu.roll(vacc_ref[:], wp - j, axis=1)
+            hacc_ref[:] = hacc_ref[:] + view * kh_ref[j, 0]
+            return 0
+
+        jax.lax.fori_loop(0, n, hbody, 0)
+        # cv2 8u fixed point: Q16.16 result, round half up; int32 out
+        # (Mosaic can't cast f32->u8), caller casts
+        out_ref[:] = jnp.floor((hacc_ref[:] + 32768.0) * (1.0 / 65536.0)
+                               ).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "sigma", "interpret"))
+def gaussian_blur_u8_pallas(img: jnp.ndarray, ksize: int, sigma: float = 0.0,
+                            interpret: bool = False) -> jnp.ndarray:
+    """cv2.GaussianBlur 8u (BORDER_REFLECT_101) as one fused VMEM kernel:
+    one HBM read + one write instead of 2*ksize shifted full-image MACs.
+    Bit-exact vs ops.filters.gaussian_blur_u8 (same Q8.8 kernel, exact
+    integer-valued f32 accumulation)."""
+    from tpuimage.ops.filters import gaussian_kernel_q8
+    from tpuimage.core.borders import pad2d, BORDER_REFLECT_101
+
+    k = gaussian_kernel_q8(ksize, sigma).astype(np.float32)
+    r = ksize // 2
+    h, w = int(img.shape[0]), int(img.shape[1])
+    th = min(_BAND_ROWS, _round_up(h, 8))
+    hp = _round_up(h, th)
+    wp = _round_up(w + 2 * r, 128)
+    pf = pad2d(img.astype(jnp.float32), r, r, r, r, mode=BORDER_REFLECT_101)
+    p = pad2d(pf, 0, hp - h + 8, 0, wp - (w + 2 * r), mode="edge")
+
+    kcol = jnp.asarray(k.reshape(-1, 1))
+    kernel = _make_sepconv_band_kernel(th, wp, ksize)
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp // th,),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # vertical taps
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # horizontal taps
+            pl.BlockSpec((hp + 2 * r + 8, wp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th, wp), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((th, wp), jnp.float32),
+            pltpu.VMEM((th, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(kcol, kcol, p)
+    return jnp.clip(out[:h, :w], 0, 255).astype(jnp.uint8)
+
+
+def gaussian_pallas_applicable(img, ksize: int) -> bool:
+    """Hardware dispatch gate for the fused separable gaussian: always
+    False — measured on the chip (1200x849 u8, chained-rep timing), XLA's
+    unrolled shifted-MAC form wins at every kernel size (k=51: 0.0 vs
+    0.3 ms single image, 2.7 vs 4.1 ms vmapped batch 8; k=101: 0.2 vs
+    0.8 ms) because XLA fuses the conv into surrounding elementwise ops
+    and keeps taps in registers, while a separate pallas_call breaks that
+    fusion and pays slab loads + rolls per tap. The kernel stays
+    correctness-validated (tests/test_pallas.py) and forceable via
+    gaussian_blur_u8(impl="pallas") for stencils too large for XLA's
+    unrolled form; separable convs are one case where the compiler's
+    fusion beats a hand-written kernel."""
+    return False
+
+
+# ---------------------------------------------------------------------------
 # Hough vote accumulation
 # ---------------------------------------------------------------------------
 
