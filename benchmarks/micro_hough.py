@@ -79,7 +79,9 @@ def main():
     dt = timed(lambda e: np.asarray(compact_now(e)[1]).sum(), edges) - rtt
     print(f"topk_now      {dt*1e3:7.2f} ms")
 
-    # --- packed single-key top_k: key = (edge<<23) | (bigN - in_band_idx) ---
+    # --- packed single-key SORT (not top_k): key = (edge<<23) | (N-1-idx),
+    # ascending sort, slice the tail (largest keys = edges, idx ascending),
+    # reverse. 5x faster than top_k in the micro_topk probe. ---
     @jax.jit
     def compact_packed(eb):
         def one(e):
@@ -88,9 +90,10 @@ def main():
                         ).reshape(n_over_b, _HOUGH_BANDS).T
             rev = jnp.arange(n_over_b - 1, -1, -1, dtype=jnp.int32)[None, :]
             key = (m << 23) | rev
-            topk = lax.top_k(key, kk)[0]
-            valid = topk >> 23
-            ci = jnp.where(valid > 0, (n_over_b - 1) - (topk & ((1 << 23) - 1)), 0)
+            s = lax.sort(key, dimension=1, is_stable=False)
+            top = s[:, -kk:][:, ::-1]
+            valid = top >> 23
+            ci = jnp.where(valid > 0, (n_over_b - 1) - (top & ((1 << 23) - 1)), 0)
             counts = valid.sum(axis=1)
             ci_t = ci.T
             if kb > kk:

@@ -52,7 +52,7 @@ def main():
     from tpuimage.ops.histogram import otsu_threshold
     from tpuimage.ops.morphology import structuring_element, dilate, morph_blackhat
     from tpuimage.ops.edges import canny
-    from tpuimage.ops.hough import hough_lines
+    from tpuimage.ops.hough import hough_accumulator, hough_fold_median_angle
     from tpuimage.ops import geometry
 
     cfg = docscan.GUI_DOCUMENT_CONFIG
@@ -112,8 +112,11 @@ def main():
     def canny_fn(b):
         return jax.vmap(lambda g: canny(g, c.canny_low, c.canny_high))(b)
 
-    def hough_fn(b):
-        return jax.vmap(lambda e: hough_lines(e, threshold=150, max_lines=512)[0])(b)
+    def hough_acc_fn(b):
+        return jax.vmap(hough_accumulator)(b)
+
+    def deskew_fn(b):
+        return jax.vmap(lambda e: hough_fold_median_angle(e, threshold=150))(b)
 
     def rot_fn(b):
         ang = jnp.full((b.shape[0],), 2.0, jnp.float32)
@@ -139,7 +142,8 @@ def main():
     measure("inkmask(gauss%d+blackhat+2otsu)" % mk, inkmask_fn, illum)
     measure("adaptive_thresh%d" % bs, adapt_fn, illum)
     measure("canny", canny_fn, weighted)
-    measure("hough512", hough_fn, edges)
+    measure("hough_accumulator", hough_acc_fn, edges)
+    measure("deskew_angle(acc+foldmedian)", deskew_fn, edges)
     measure("rotate_tiled(angle=2)", rot_fn, weighted)
 
     print(json.dumps({"batch": BATCH, "mp_per_dispatch": mp, "rtt_ms": round(rtt * 1e3, 2),

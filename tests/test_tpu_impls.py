@@ -121,16 +121,19 @@ class TestHoughPallas:
         # both MXU dtypes of the vote kernel (bf16 is the default — measured
         # faster than s8 on v5e Mosaic; int8 stays selectable)
         from tpuimage.ops.pallas_kernels import hough_votes_pallas, _HOUGH_ROWS
-        kb = _HOUGH_ROWS
-        ci_t = rng.integers(0, 37, size=(kb, 128)).astype(np.int32)
-        counts = rng.integers(0, kb + 1, size=128).astype(np.int32)
-        kw = dict(numrho=(64 + 48) * 2 + 1, w=64, rho_base=3, rho_bins=160,
-                  interpret=True)
-        a = np.asarray(hough_votes_pallas(jnp.asarray(ci_t), jnp.asarray(counts),
-                                          mxu="int8", **kw))
-        b = np.asarray(hough_votes_pallas(jnp.asarray(ci_t), jnp.asarray(counts),
-                                          mxu="bf16", **kw))
+        edges = (rng.random((48, 64)) < 0.2).astype(np.uint8) * 255
+        xs_t, ys_t, counts = hough_mod.band_compact_coords(
+            jnp.asarray(edges), _HOUGH_ROWS * 128)
+        numrho = (64 + 48) * 2 + 1
+        c_mid = (numrho - 1) // 2
+        rho_base = c_mid - 63 - 1          # reachable range for 48x64
+        rho_hi = c_mid + int(np.ceil(np.hypot(63, 47))) + 1
+        kw = dict(numrho=numrho, rho_base=rho_base,
+                  rho_bins=rho_hi - rho_base + 1, interpret=True)
+        a = np.asarray(hough_votes_pallas(xs_t, ys_t, counts, mxu="int8", **kw))
+        b = np.asarray(hough_votes_pallas(xs_t, ys_t, counts, mxu="bf16", **kw))
         np.testing.assert_array_equal(a, b)
+        assert a.sum() == (edges > 0).sum() * 180  # every edge voted per theta
 
     def test_pallas_empty_and_single(self):
         edges = np.zeros((40, 64), np.uint8)

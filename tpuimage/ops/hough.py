@@ -40,6 +40,58 @@ from tpuimage.core.dtypes import f32, i32
 _LO_BINS = 64
 
 
+def band_compact_coords(edges: jnp.ndarray, max_edges: int):
+    """Banded edge compaction for the Pallas vote kernel: band b holds the
+    edges with flat_idx % 128 == b, packed to the front.
+
+    Implementation: a single-array sort of packed keys
+    ``(edge << bits) | (N-1-idx)`` — ascending sort puts edges at the tail
+    with in-band index ascending; slice + reverse recovers them. Measured
+    ~5x faster than the earlier values+indices co-sorting ``top_k`` on v5e
+    (1.1 vs 5.0 ms at batch 8, A4 pages): half the bytes through the sort
+    network and no payload co-movement. Over-budget bands drop their
+    largest-index edges, matching the old top_k tie order (only possible
+    when >kk edges share one flat_idx mod 128 — NMS-thinned Canny maps
+    measured 2-13% dense stay far below the 18.75% default budget).
+
+    Returns (xs_t, ys_t, counts): (kb, 128) float32 transposed coordinate
+    planes (invalid slots poisoned — see hough_votes_pallas) and per-band
+    edge counts. Coordinates are precomputed here so the vote kernel's
+    per-(theta, trip) body avoids the div/mod and count-mask compare.
+    """
+    from tpuimage.ops.pallas_kernels import (HOUGH_POISON_X, HOUGH_POISON_Y,
+                                             _HOUGH_BANDS, _HOUGH_ROWS)
+    h, w = edges.shape
+    n = h * w
+    n_over_b = -(-n // _HOUGH_BANDS)
+    kk = min(max(1, max_edges // _HOUGH_BANDS), n_over_b)  # per-band budget
+    kb = kk + (-kk) % _HOUGH_ROWS                          # row-chunk pad
+    n_bits = max((n_over_b - 1).bit_length(), 1)
+    flag_mask = (1 << n_bits) - 1
+    e = (edges.reshape(-1) > 0).astype(jnp.int32)
+    m = jnp.pad(e, (0, n_over_b * _HOUGH_BANDS - n)
+                ).reshape(n_over_b, _HOUGH_BANDS).T        # (128, N)
+    rev = (n_over_b - 1) - jnp.arange(n_over_b, dtype=jnp.int32)[None, :]
+    key = (m << n_bits) | rev
+    s = lax.sort(key, dimension=1, is_stable=False)
+    top = s[:, n_over_b - kk:][:, ::-1]                    # (128, kk)
+    validb = top >> n_bits                                 # 0/1
+    counts = validb.sum(axis=1)
+    ci = (n_over_b - 1) - (top & flag_mask)                # in-band index
+    band = jnp.arange(_HOUGH_BANDS, dtype=jnp.int32)[:, None]
+    gi = ci * _HOUGH_BANDS + band                          # flat image index
+    ok = validb > 0
+    xs = jnp.where(ok, (gi % w).astype(jnp.float32), HOUGH_POISON_X)
+    ys = jnp.where(ok, (gi // w).astype(jnp.float32), HOUGH_POISON_Y)
+    xs_t, ys_t = xs.T, ys.T                                # (kk, 128)
+    if kb > kk:
+        xs_t = jnp.pad(xs_t, ((0, kb - kk), (0, 0)),
+                       constant_values=HOUGH_POISON_X)
+        ys_t = jnp.pad(ys_t, ((0, kb - kk), (0, 0)),
+                       constant_values=HOUGH_POISON_Y)
+    return xs_t, ys_t, counts
+
+
 @functools.partial(jax.jit, static_argnames=("rho", "theta_bins", "max_edges",
                                               "impl"))
 def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
@@ -69,38 +121,14 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
     if impl == "auto":
         impl = "pallas" if on_tpu else "xla"
     if impl == "pallas" and rho == 1.0:
-        # banded compaction: band b holds edges with flat_idx % 128 == b,
-        # packed to the front by a per-band top_k (128 small selections are
-        # ~2x cheaper than one global 1M-element top_k, and the kernel's
-        # dynamic trip count then tracks the densest band, not the budget).
-        # Budget caveat: a band overflowing kb drops its lowest-index edges
-        # even if the global budget isn't exhausted — only possible when
-        # >kb edge pixels share the same flat_idx mod 128 (adversarial
-        # inputs; NMS-thinned Canny maps measured 2-13%% dense stay far
-        # below the 18.75%% default).
-        from tpuimage.ops.pallas_kernels import (hough_votes_pallas,
-                                                 _HOUGH_BANDS, _HOUGH_ROWS)
-        n = h * w
-        n_over_b = -(-n // _HOUGH_BANDS)
-        kk = min(max(1, k // _HOUGH_BANDS), n_over_b)   # per-band selection
-        kb = kk + (-kk) % _HOUGH_ROWS                   # kernel row-chunk pad
-        flat = edges.reshape(-1).astype(jnp.int32)
-        m = jnp.pad(flat, (0, n_over_b * _HOUGH_BANDS - n)
-                    ).reshape(n_over_b, _HOUGH_BANDS).T
-        # (a packed single-key top_k — (edge<<23)|idx sorting one array
-        # instead of co-sorting values+indices — measured SLOWER than the
-        # plain co-sort on v5e: 6.1 vs 5.4 ms at batch 8; keep the co-sort)
-        vals, ci = lax.top_k(m, kk)                 # (128, kk), ties keep order
-        counts = jnp.sum((vals > 0).astype(jnp.int32), axis=1)
-        ci_t = ci.T
-        if kb > kk:
-            ci_t = jnp.pad(ci_t, ((0, kb - kk), (0, 0)))
+        from tpuimage.ops.pallas_kernels import hough_votes_pallas
+        xs_t, ys_t, counts = band_compact_coords(edges, k)
         # statically reachable rho bins: x*cos(t) + y*sin(t) over the image
         # rectangle and t in [0, pi) lies in [-(w-1), hypot(w-1, h-1)]
         c_mid = (numrho - 1) // 2
         rho_base = max(c_mid - (w - 1) - 1, 0)
         rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, h - 1))) + 1, numrho - 1)
-        return hough_votes_pallas(ci_t, counts, numrho, w, theta_bins,
+        return hough_votes_pallas(xs_t, ys_t, counts, numrho, theta_bins,
                                   interpret=not on_tpu, rho_base=rho_base,
                                   rho_bins=rho_hi - rho_base + 1)
 

@@ -250,7 +250,7 @@ _HOUGH_BANDS = 128   # compaction bands (edge e lives in band flat_idx % 128)
 _HOUGH_ROWS = 64     # rows per in-kernel chunk (chunk = ROWS * BANDS edges)
 
 
-def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int, w: int,
+def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
                        mxu_dtype, acc_dtype, rows: int = _HOUGH_ROWS):
     """votes[theta] = sum_e onehot_hi(r_e)^T @ onehot_lo(r_e) for one theta.
 
@@ -276,23 +276,22 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int, w: int,
     invalid_bin = n_hi * _HOUGH_LO - 1  # spare hi row, dropped by caller
     chunk = rows * _HOUGH_BANDS
 
-    def kernel(nt_ref, ct_ref, st_ref, ci_ref, cnt_ref, out_ref, acc_ref):
+    def kernel(nt_ref, ct_ref, st_ref, xs_ref, ys_ref, out_ref, acc_ref):
         t = pl.program_id(0)
         ct = ct_ref[t, 0]
         st = st_ref[t, 0]
         acc_ref[:] = jnp.zeros((n_hi, _HOUGH_LO), acc_dtype)
-        band = jax.lax.broadcasted_iota(jnp.int32, (rows, _HOUGH_BANDS), 1)
 
         def body(c, _):
-            ci = ci_ref[pl.ds(c * rows, rows), :]
-            rowj = c * rows + jax.lax.broadcasted_iota(
-                jnp.int32, (rows, _HOUGH_BANDS), 0)
-            ok = rowj < cnt_ref[0, :]
-            gi = ci * _HOUGH_BANDS + band           # flat image index
-            y = (gi // w).astype(jnp.float32)
-            x = (gi % w).astype(jnp.float32)
+            # x/y arrive precomputed (and poisoned for invalid slots — see
+            # hough_votes_pallas docstring), so the per-theta body is just
+            # 2 FMAs + round + range test per edge: the div/mod and the
+            # count-mask compare the earlier kernel recomputed every
+            # (theta, trip) step are hoisted to one XLA pass
+            x = xs_ref[pl.ds(c * rows, rows), :]
+            y = ys_ref[pl.ds(c * rows, rows), :]
             r = jnp.round(x * ct + y * st).astype(jnp.int32) + r_shift
-            ok = ok & (r >= 0) & (r < nbins)
+            ok = (r >= 0) & (r < nbins)
             r = jnp.where(ok, r, invalid_bin).reshape(1, chunk)
             hi = r // _HOUGH_LO
             lo = r % _HOUGH_LO
@@ -311,11 +310,21 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int, w: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("numrho", "w", "theta_bins",
+# Poison coordinates for invalid edge slots: r = x cos(t) + y sin(t) lands
+# far outside any reachable rho bin for EVERY theta grid point. Near t=0
+# (sin ~ 0) r ~ POISON_X; elsewhere sin(t) >= sin(pi/theta_bins) so
+# r >= POISON_Y*sin(pi/3600) - POISON_X ~ 7.7e5. Valid for numrho < 9e4
+# and theta_bins <= 3600 (asserted by hough_votes_pallas).
+HOUGH_POISON_X = 1.0e5
+HOUGH_POISON_Y = 1.0e9
+
+
+@functools.partial(jax.jit, static_argnames=("numrho", "theta_bins",
                                              "interpret", "rho_base",
                                              "rho_bins", "mxu", "rows"))
-def hough_votes_pallas(ci_t: jnp.ndarray, counts: jnp.ndarray, numrho: int,
-                       w: int, theta_bins: int = 180,
+def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
+                       counts: jnp.ndarray, numrho: int,
+                       theta_bins: int = 180,
                        interpret: bool = False, rho_base: int = 0,
                        rho_bins: int = 0, mxu: str = "bf16",
                        rows: int = _HOUGH_ROWS) -> jnp.ndarray:
@@ -323,9 +332,12 @@ def hough_votes_pallas(ci_t: jnp.ndarray, counts: jnp.ndarray, numrho: int,
     edge list — the Pallas production path of ops.hough.hough_accumulator
     (identical counts: same f32 round, same one-hot matmul contraction).
 
-    ci_t: (kb, 128) int32 — per-band in-band indices from a banded top_k,
-    transposed so valid edges are row-dense; counts: (128,) int32 edges per
-    band; w: image width (flat index = in_band_idx * 128 + band).
+    xs_t/ys_t: (kb, 128) float32 — edge x/y coordinates from the banded
+    sort compaction, transposed so valid edges are row-dense; INVALID slots
+    must carry (HOUGH_POISON_X, HOUGH_POISON_Y), which maps outside every
+    reachable rho bin for every theta (see note above), replacing a
+    per-(theta, trip) count-mask compare in the kernel. counts: (128,)
+    int32 edges per band (drives the dynamic trip count only).
 
     rho_base/rho_bins clip the vote matrix to bins
     [rho_base, rho_base + rho_bins) — callers pass the statically reachable
@@ -334,8 +346,9 @@ def hough_votes_pallas(ci_t: jnp.ndarray, counts: jnp.ndarray, numrho: int,
     the unclipped one. mxu: "int8" (s8 one-hots, int32 accumulation — 2x
     MXU rate, exact) or "bf16" (0/1 bf16, f32 accumulation — exact < 2^24).
     """
-    kb = int(ci_t.shape[0])
+    kb = int(xs_t.shape[0])
     assert kb % rows == 0
+    assert numrho < 90000 and theta_bins <= 3600  # poison-coordinate bound
     if rho_bins <= 0:
         rho_base, rho_bins = 0, numrho
     n_hi = (rho_bins + _HOUGH_LO - 1) // _HOUGH_LO + 1  # +1 spare row
@@ -349,7 +362,7 @@ def hough_votes_pallas(ci_t: jnp.ndarray, counts: jnp.ndarray, numrho: int,
     n_trips = ((jnp.max(counts) + rows - 1) // rows
                ).astype(jnp.int32).reshape(1, 1)
 
-    kernel = _make_hough_kernel(r_shift, n_hi, rho_bins, w, mxu_dtype,
+    kernel = _make_hough_kernel(r_shift, n_hi, rho_bins, mxu_dtype,
                                 acc_dtype, rows)
     votes = pl.pallas_call(
         kernel,
@@ -363,17 +376,17 @@ def hough_votes_pallas(ci_t: jnp.ndarray, counts: jnp.ndarray, numrho: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((theta_bins, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
-            # whole edge list stays VMEM-resident across all theta steps
+            # whole coordinate planes stay VMEM-resident across theta steps
             pl.BlockSpec((kb, _HOUGH_BANDS), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _HOUGH_BANDS), lambda t: (0, 0),
+            pl.BlockSpec((kb, _HOUGH_BANDS), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n_hi, _HOUGH_LO), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((n_hi, _HOUGH_LO), acc_dtype)],
         interpret=interpret,
-    )(n_trips, cos_t, sin_t, ci_t, counts.reshape(1, _HOUGH_BANDS))
+    )(n_trips, cos_t, sin_t, xs_t, ys_t)
     # drop the spare row's lane range, pad the clipped (provably zero-vote)
     # rho range back, return in (numrho, theta) layout
     v = votes.reshape(theta_bins, n_hi * _HOUGH_LO)[:, :rho_bins].astype(jnp.int32)
