@@ -68,6 +68,37 @@ def main():
     dt = timed(chain(vsort))
     print(f"vsort full  : {dt*1e3:7.2f} ms")
 
+    # u16 packed single-key sort: (edge<<13) | (8191 - idx); descending order
+    # puts edges first with idx ascending. Half the bytes of an i32 sort,
+    # quarter of the co-sort. Index recovery is pure elementwise afterwards.
+    iu = jnp.broadcast_to(
+        (8191 - jnp.arange(7960)).astype(jnp.uint16), (8, 128, 7960))
+
+    def u16sort(b):
+        keys = (jnp.where(b > 0, jnp.uint16(0x2000), jnp.uint16(0)) | iu)
+        s = lax.sort(keys, dimension=2, is_stable=False)  # ascending
+        top = s[:, :, -2048:]                             # edges at the tail
+        ci = (8191 - (top & jnp.uint16(0x1fff))).astype(jnp.int32)
+        cnt = jnp.sum((top >= 0x2000).astype(jnp.int32), axis=2)
+        return ci[:, :, :8].sum() + cnt.sum() & 0x7fffffff
+    dt = timed(chain(u16sort))
+    print(f"u16 packed  : {dt*1e3:7.2f} ms")
+
+    # i32 packed single-key (prior session: measured slower than co-sort;
+    # re-check alongside u16)
+    ii = jnp.broadcast_to((8191 - jnp.arange(7960)), (8, 128, 7960)
+                          ).astype(jnp.int32)
+
+    def i32packed(b):
+        keys = jnp.where(b > 0, 0x2000, 0) | ii
+        s = lax.sort(keys, dimension=2, is_stable=False)
+        top = s[:, :, -2048:]
+        ci = 8191 - (top & 0x1fff)
+        cnt = jnp.sum((top >= 0x2000).astype(jnp.int32), axis=2)
+        return ci[:, :, :8].sum() + cnt.sum() & 0x7fffffff
+    dt = timed(chain(i32packed))
+    print(f"i32 packed  : {dt*1e3:7.2f} ms")
+
 
 if __name__ == "__main__":
     main()

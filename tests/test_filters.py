@@ -40,6 +40,18 @@ class TestGaussian:
             ref = cv2.getGaussianKernel(k, s if s > 0 else 0).ravel()
             np.testing.assert_allclose(filters.get_gaussian_kernel(k, s), ref, atol=1e-12)
 
+    @pytest.mark.parametrize("shape,k", [((97, 123), 25), ((211, 173), 43),
+                                         ((120, 255), 51)])
+    def test_matmul_impl_exact(self, rng, shape, k):
+        # the MXU banded-Toeplitz path (TPU production form for big blurs)
+        # must be bit-identical to cv2 and to the shifted-MAC form
+        img = rng.integers(0, 256, shape, np.uint8)
+        ref = cv2.GaussianBlur(img, (k, k), 0)
+        mm = filters.gaussian_blur_u8(img, ksize=k, impl="matmul")
+        xla = filters.gaussian_blur_u8(img, ksize=k, impl="xla")
+        assert maxdiff(ref, mm) == 0
+        assert maxdiff(np.asarray(xla), mm) == 0
+
 
 class TestMedian:
     @pytest.mark.parametrize("k", [3, 5, 7])
@@ -167,6 +179,15 @@ class TestArith:
     def test_divide_scale(self, rng):
         a, b = rand_img(rng), rand_img(rng)
         assert maxdiff(cv2.divide(a, b, scale=255), arith.divide_u8(a, b, scale=255)) == 0
+
+    def test_divide_full_domain(self):
+        # the integer round-half-even path must equal cv2 on EVERY (a, b)
+        # pair (incl. all exact .5 ties and b == 0)
+        a = np.repeat(np.arange(256, dtype=np.uint8), 256).reshape(256, 256)
+        b = np.tile(np.arange(256, dtype=np.uint8), 256).reshape(256, 256)
+        for scale in (1, 2, 255):
+            assert maxdiff(cv2.divide(a, b, scale=scale),
+                           arith.divide_u8(a, b, scale=scale)) == 0
 
     def test_add_weighted(self, rng):
         a, b = rand_img(rng), rand_img(rng)

@@ -105,6 +105,54 @@ def _sepconv_valid_f32(padded: jnp.ndarray, kx: jnp.ndarray, ky: jnp.ndarray) ->
     return one_axis(one_axis(padded, kyv, 0), kxv, 1)
 
 
+def _toeplitz_band(k: np.ndarray, out_dim: int) -> np.ndarray:
+    """(out_dim + len(k) - 1, out_dim) banded matrix: T[i+j, j] = k[i] —
+    'valid' 1-D convolution of a padded axis as a dense matmul."""
+    n = len(k)
+    T = np.zeros((out_dim + n - 1, out_dim), np.float32)
+    j = np.arange(out_dim)
+    for i in range(n):
+        T[i + j, j] = k[i]
+    return T
+
+
+# matmul dispatch threshold: below this tap count the unrolled shifted-MAC
+# VPU form wins (fuses into neighbors); above it the MXU banded matmul wins
+# (measured, 8x 1200x849 chained reps: k=25 XLA 0.09 vs matmul 0.36 ms;
+# k=43 0.72 vs 0.29; k=51 1.78 vs ~0.1)
+_GAUSS_MATMUL_MIN_K = 35
+
+
+def _gaussian_matmul_u8(img: jnp.ndarray, ksize: int, sigma: float,
+                        border: str) -> jnp.ndarray:
+    """cv2.GaussianBlur 8u as two banded-Toeplitz bf16 matmuls on the MXU.
+
+    Exactness: Q8.8 taps (ints <= 256) and u8 pixels are bf16-exact; each
+    product needs <= 17 mantissa bits and every f32-accumulated sum stays
+    < 2^24, so the row pass is one exact matmul. Its 17-bit integer result
+    does NOT fit bf16, so the column pass splits it into hi/lo bytes
+    (both bf16-exact) stacked side-by-side into a single matmul, then
+    recombines: b = 256*(Tc@hi) + Tc@lo < 2^24 — still exact. Identical
+    output to the shifted-MAC form, but the FLOPs ride the MXU: a k-tap
+    separable blur is 2k shifted full-image reads on the VPU vs ~2
+    dense (dim x dim) matmuls that cost O(dim/128) MXU passes.
+    """
+    k = gaussian_kernel_q8(ksize, sigma).astype(np.float32)
+    r = ksize // 2
+    h, w = int(img.shape[0]), int(img.shape[1])
+    p = pad2d(f32(img), r, r, r, r, mode=border).astype(jnp.bfloat16)
+    t_r = jnp.asarray(_toeplitz_band(k, w), jnp.bfloat16)        # (w+2r, w)
+    t_c = jnp.asarray(_toeplitz_band(k, h).T, jnp.bfloat16)      # (h, h+2r)
+    a = jnp.matmul(p, t_r, preferred_element_type=jnp.float32)   # (h+2r, w)
+    a_hi = jnp.floor(a * (1.0 / 256.0))                          # exact: 2^-8 scale
+    a_lo = a - a_hi * 256.0
+    stacked = jnp.concatenate([a_hi, a_lo], axis=1).astype(jnp.bfloat16)
+    b2 = jnp.matmul(t_c, stacked, preferred_element_type=jnp.float32)
+    b = b2[:, :w] * 256.0 + b2[:, w:]                            # Q16.16 ints
+    return jnp.clip(jnp.floor((b + 32768.0) * (1.0 / 65536.0)), 0, 255
+                    ).astype(jnp.uint8)
+
+
 def gaussian_blur_u8(img: jnp.ndarray, ksize: int = 0, sigma: float = 0.0,
                      border: str = BORDER_REFLECT_101,
                      impl: str = "auto") -> jnp.ndarray:
@@ -113,10 +161,12 @@ def gaussian_blur_u8(img: jnp.ndarray, ksize: int = 0, sigma: float = 0.0,
     ksize==0 derives the kernel size from sigma like cv2's ``(0,0)`` form
     (DocScanner ``GaussianBlur(img,(0,0),radius)`` call sites).
 
-    impl: "auto" = fused Pallas band kernel on TPU for 2-D inputs with
-    ksize>=9 that fit VMEM (one HBM read+write vs 2*ksize shifted MACs) /
-    the XLA shifted-MAC form elsewhere; "xla" / "pallas" force a path.
-    Both are bit-exact (integer-valued f32 accumulation, order-free).
+    impl: "auto" = MXU banded-matmul form on TPU for 2-D inputs with
+    ksize >= 35 (the big illumination/ink-mask blurs) / the XLA
+    shifted-MAC form elsewhere; "xla" / "matmul" / "pallas" force a path
+    (the Pallas band kernel is validated but measured slower than XLA —
+    see gaussian_pallas_applicable). All are bit-exact (integer-valued
+    f32 accumulation, order-free).
     """
     if ksize <= 0:
         if sigma <= 0:
@@ -124,15 +174,15 @@ def gaussian_blur_u8(img: jnp.ndarray, ksize: int = 0, sigma: float = 0.0,
         ksize = gaussian_ksize_from_sigma(sigma)
     if ksize == 1:
         return img
-    if border == BORDER_REFLECT_101 and impl != "xla":
-        import jax
-        from tpuimage.ops.pallas_kernels import (gaussian_blur_u8_pallas,
-                                                 gaussian_pallas_applicable)
-        on_tpu = jax.default_backend() not in ("cpu",)
-        if impl == "pallas" or (impl == "auto" and on_tpu
-                                and gaussian_pallas_applicable(img, ksize)):
-            return gaussian_blur_u8_pallas(img, ksize, sigma,
-                                           interpret=not on_tpu)
+    import jax
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if impl == "matmul" or (impl == "auto" and on_tpu and img.ndim == 2
+                            and ksize >= _GAUSS_MATMUL_MIN_K):
+        return _gaussian_matmul_u8(img, ksize, sigma, border)
+    if border == BORDER_REFLECT_101 and impl == "pallas":
+        from tpuimage.ops.pallas_kernels import gaussian_blur_u8_pallas
+        return gaussian_blur_u8_pallas(img, ksize, sigma,
+                                       interpret=not on_tpu)
     k = gaussian_kernel_q8(ksize, sigma).astype(np.float32)
     r = ksize // 2
     p = pad2d(f32(img), r, r, r, r, mode=border)
