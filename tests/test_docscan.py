@@ -23,6 +23,52 @@ def doc_result(tmp_path_factory):
                                     config=docscan.GUI_DOCUMENT_CONFIG)
 
 
+class TestApproxPolyDP:
+    """Differential test of the cv2.approxPolyDP reconstruction (VERDICT
+    round-1 weak #7): real-image contours, byte-identical for >=98% and
+    same vertex count for all document-sized shapes."""
+
+    SRCS = [DOC1, "/root/reference/public/DIP test/document2.png",
+            "/root/reference/public/sample.jpg",
+            "/root/reference/public/nightview.png"]
+
+    def test_closed_matches_cv2_on_real_contours(self):
+        from tpuimage.detect import contours as cnt
+        tot = exact = 0
+        for p in self.SRCS:
+            img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+            _, bin_ = cv2.threshold(img, 0, 255,
+                                    cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+            cs, _ = cv2.findContours(bin_, cv2.RETR_LIST,
+                                     cv2.CHAIN_APPROX_SIMPLE)
+            for c in cs:
+                if cv2.contourArea(c) < 50:
+                    continue
+                peri = cv2.arcLength(c, True)
+                ref = cv2.approxPolyDP(c, 0.02 * peri, True).reshape(-1, 2)
+                ours = np.asarray(cnt.approx_poly_dp(c.reshape(-1, 2),
+                                                     0.02 * peri, True))
+                tot += 1
+                exact += np.array_equal(ref, ours)
+                # large (document-scale) contours must be byte-identical —
+                # residual tie-breaks only occur on small noisy spur blobs
+                if cv2.contourArea(c) > 2000:
+                    np.testing.assert_array_equal(ref, ours)
+        assert tot > 500
+        assert exact / tot >= 0.98, f"{exact}/{tot}"
+
+    def test_open_matches_cv2(self):
+        from tpuimage.detect import contours as cnt
+        for c in (np.array([[0, 0], [5, 1], [10, 0], [15, 6], [20, 0]]),
+                  np.array([[0, 0], [1, 0], [2, 3], [3, 0], [10, 1],
+                            [20, 0], [21, 5]])):
+            for eps in (0.5, 1.5, 4.0):
+                ref = cv2.approxPolyDP(c.astype(np.int32).reshape(-1, 1, 2),
+                                       eps, False).reshape(-1, 2)
+                ours = np.asarray(cnt.approx_poly_dp(c, eps, False))
+                np.testing.assert_array_equal(ref, ours)
+
+
 class TestLocalize:
     def test_quad_found_and_ordered(self, doc_result):
         quad = doc_result["quad"]
@@ -40,6 +86,29 @@ class TestLocalize:
     def test_warp_is_a4_page(self, doc_result):
         w = np.asarray(doc_result["warped"])
         assert w.shape == (1200, 849, 3)  # A4 portrait @ scale_long 1200
+
+    def test_document2_quad_and_pipeline(self, tmp_path):
+        # SURVEY §7.6: the deterministic HoughLinesP substitute must also
+        # behave on the second committed document (document2.png, 832x673,
+        # page fills the frame). The reference's HoughLinesP is random (and
+        # its (N,4) return shape crashes the reference on this cv2 build),
+        # so the parity target is the quad: here the page occupies the full
+        # frame and localization must return a (near-)full-frame quad, warp
+        # to the A4 target, and run stages 04-08 to a clean binary.
+        p = "/root/reference/public/DIP test/document2.png"
+        res = docscan.process_document(p, out_dir=str(tmp_path),
+                                       config=docscan.GUI_DOCUMENT_CONFIG)
+        assert not res["use_whole"]
+        from tpuimage.detect import contours as cnt
+        img = cv2.imread(p)
+        ratio = cnt.contour_area(res["quad"]) / (img.shape[0] * img.shape[1])
+        assert ratio > 0.9
+        binary = np.asarray(res["binary"])
+        assert binary.shape == (1200, 849)
+        assert set(np.unique(binary)) <= {0, 255}
+        # a scanned text page: mostly white background, some ink
+        frac_white = (binary == 255).mean()
+        assert 0.6 < frac_white < 0.999
 
     def test_landscape_orientation_page(self, tmp_path):
         # rotate the document 90 degrees: the quad becomes wider than tall,
