@@ -35,29 +35,44 @@ def _load_page() -> np.ndarray:
 def bench_tpu(page: np.ndarray) -> float:
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from tpuimage.pipelines import docscan
 
     cfg = docscan.GUI_DOCUMENT_CONFIG
     batch = jnp.asarray(np.broadcast_to(page, (BATCH,) + page.shape).copy())
     # block_until_ready is not a reliable sync on the tunneled axon backend
     # (returns before execution completes) — use a device->host scalar fetch
-    # as the barrier, and subtract the fetch round-trip measured on a
-    # trivial program.
-    fn = jax.jit(lambda b: docscan.docscan_post_warp_batch(b, cfg)["clean"]
-                 .astype(jnp.int32)[:, ::311, ::311].sum())
+    # as the barrier. The ~30 ms tunnel round-trip and its variance would
+    # swamp a per-dispatch timing, so the program is repeated REPS times
+    # INSIDE one jit with a data dependency chained through each iteration
+    # (a one-pixel perturbation derived from the previous output — prevents
+    # CSE, keeps the workload identical); one scalar comes back per
+    # dispatch and the measured RTT of a trivial program is subtracted.
+    REPS = 8
+
+    @jax.jit
+    def chained(b):
+        def body(i, carry):
+            b_, acc = carry
+            clean = docscan.docscan_post_warp_batch(b_, cfg)["clean"]
+            tok = clean[0, ::511, ::511].astype(jnp.int32).sum()
+            b_next = b_.at[0, 0, 0, 0].set((tok % 251).astype(jnp.uint8))
+            return b_next, acc + tok
+        return lax.fori_loop(0, REPS, body, (b, jnp.int32(0)))[1]
+
     triv = jax.jit(lambda b: b.astype(jnp.int32)[0, 0, 0, 0])
-    for _ in range(WARM):
-        int(np.asarray(fn(batch)))
     int(np.asarray(triv(batch)))
     t0 = time.perf_counter()
     for _ in range(ITERS):
         int(np.asarray(triv(batch)))
     rtt = (time.perf_counter() - t0) / ITERS
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        int(np.asarray(fn(batch)))
-    dt = (time.perf_counter() - t0) / ITERS - rtt
-    dt = max(dt, 1e-9)
+    int(np.asarray(chained(batch)))  # compile + warm
+    best = float("inf")
+    for _ in range(max(WARM, 3)):
+        t0 = time.perf_counter()
+        int(np.asarray(chained(batch)))
+        best = min(best, time.perf_counter() - t0)
+    dt = max((best - rtt) / REPS, 1e-9)
     mp = BATCH * page.shape[0] * page.shape[1] / 1e6
     return mp / dt
 

@@ -251,7 +251,8 @@ _HOUGH_ROWS = 64     # rows per in-kernel chunk (chunk = ROWS * BANDS edges)
 
 
 def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
-                       mxu_dtype, acc_dtype, rows: int = _HOUGH_ROWS):
+                       mxu_dtype, acc_dtype, rows: int = _HOUGH_ROWS,
+                       swap_mn: bool = False):
     """votes[theta] = sum_e onehot_hi(r_e)^T @ onehot_lo(r_e) for one theta.
 
     Performance notes (measured on the axon chip, 8x 849x1200 pages):
@@ -276,11 +277,13 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
     invalid_bin = n_hi * _HOUGH_LO - 1  # spare hi row, dropped by caller
     chunk = rows * _HOUGH_BANDS
 
+    acc_shape = (_HOUGH_LO, n_hi) if swap_mn else (n_hi, _HOUGH_LO)
+
     def kernel(nt_ref, ct_ref, st_ref, xs_ref, ys_ref, out_ref, acc_ref):
         t = pl.program_id(0)
         ct = ct_ref[t, 0]
         st = st_ref[t, 0]
-        acc_ref[:] = jnp.zeros((n_hi, _HOUGH_LO), acc_dtype)
+        acc_ref[:] = jnp.zeros(acc_shape, acc_dtype)
 
         def body(c, _):
             # x/y arrive precomputed (and poisoned for invalid slots — see
@@ -299,13 +302,14 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
                       ).astype(mxu_dtype)
             ohT_lo = (lo == jax.lax.broadcasted_iota(jnp.int32, (_HOUGH_LO, chunk), 0)
                       ).astype(mxu_dtype)
+            a, b = (ohT_lo, ohT_hi) if swap_mn else (ohT_hi, ohT_lo)
             acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-                ohT_hi, ohT_lo, dimension_numbers=(((1,), (1,)), ((), ())),
+                a, b, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=acc_dtype)
             return 0
 
         jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
-        out_ref[:] = acc_ref[:].reshape(1, n_hi, _HOUGH_LO)
+        out_ref[:] = acc_ref[:].reshape((1,) + acc_shape)
 
     return kernel
 
@@ -321,13 +325,15 @@ HOUGH_POISON_Y = 1.0e9
 
 @functools.partial(jax.jit, static_argnames=("numrho", "theta_bins",
                                              "interpret", "rho_base",
-                                             "rho_bins", "mxu", "rows"))
+                                             "rho_bins", "mxu", "rows",
+                                             "swap_mn"))
 def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        counts: jnp.ndarray, numrho: int,
                        theta_bins: int = 180,
                        interpret: bool = False, rho_base: int = 0,
                        rho_bins: int = 0, mxu: str = "bf16",
-                       rows: int = _HOUGH_ROWS) -> jnp.ndarray:
+                       rows: int = _HOUGH_ROWS,
+                       swap_mn: bool = False) -> jnp.ndarray:
     """(numrho, theta_bins) int32 vote accumulator over a band-compacted
     edge list — the Pallas production path of ops.hough.hough_accumulator
     (identical counts: same f32 round, same one-hot matmul contraction).
@@ -345,6 +351,14 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     zero and are padded back, so the returned accumulator is identical to
     the unclipped one. mxu: "int8" (s8 one-hots, int32 accumulation — 2x
     MXU rate, exact) or "bf16" (0/1 bf16, f32 accumulation — exact < 2^24).
+
+    swap_mn=True computes the dot as (lo, chunk) x (chunk, hi) — full-M
+    orientation; measured SLOWER on v5e (15.6 vs 9.2 ms at batch 8: the
+    wide lo matrix becomes the stationary operand and its staging
+    dominates), kept selectable to document the measurement. The default
+    orientation is within ~4x of the formulation's floor: every
+    (edge, theta) increment inherently costs n_hi*128 MACs because 2341
+    reachable rho bins occupy 14%% of the 128x128 outer-product tile.
     """
     kb = int(xs_t.shape[0])
     assert kb % rows == 0
@@ -363,11 +377,12 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                ).astype(jnp.int32).reshape(1, 1)
 
     kernel = _make_hough_kernel(r_shift, n_hi, rho_bins, mxu_dtype,
-                                acc_dtype, rows)
+                                acc_dtype, rows, swap_mn)
+    acc_shape = (_HOUGH_LO, n_hi) if swap_mn else (n_hi, _HOUGH_LO)
     votes = pl.pallas_call(
         kernel,
         grid=(theta_bins,),
-        out_shape=jax.ShapeDtypeStruct((theta_bins, n_hi, _HOUGH_LO), acc_dtype),
+        out_shape=jax.ShapeDtypeStruct((theta_bins,) + acc_shape, acc_dtype),
         in_specs=[
             pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
             # full trig tables in SMEM, indexed by program_id (per-step
@@ -382,11 +397,13 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
             pl.BlockSpec((kb, _HOUGH_BANDS), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_hi, _HOUGH_LO), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1,) + acc_shape, lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_hi, _HOUGH_LO), acc_dtype)],
+        scratch_shapes=[pltpu.VMEM(acc_shape, acc_dtype)],
         interpret=interpret,
     )(n_trips, cos_t, sin_t, xs_t, ys_t)
+    if swap_mn:
+        votes = votes.transpose(0, 2, 1)  # (theta, lo, hi) -> (theta, hi, lo)
     # drop the spare row's lane range, pad the clipped (provably zero-vote)
     # rho range back, return in (numrho, theta) layout
     v = votes.reshape(theta_bins, n_hi * _HOUGH_LO)[:, :rho_bins].astype(jnp.int32)
