@@ -235,12 +235,26 @@ def clahe(gray: jnp.ndarray, clip_limit: float = 40.0,
 
     v = i32(gray)
 
-    def body(acc, b):
-        plane = jax.lax.dynamic_index_in_dim(luts, b, axis=2, keepdims=False)
-        n_b = jnp.matmul(jnp.matmul(R, plane, precision=jax.lax.Precision.HIGHEST),
-                         C, precision=jax.lax.Precision.HIGHEST)
-        return acc + jnp.where(v == b, n_b, 0.0), None
-
-    acc0 = jnp.zeros((h, w), jnp.float32)
-    res, _ = jax.lax.scan(body, acc0, jnp.arange(256, dtype=jnp.int32))
+    # Per-pixel tile-LUT rows via ONE MXU one-hot contraction, then the
+    # bilinear tile blend as a per-pixel quadratic form:
+    #   W[p, ty*tx] = onehot_256(v[p]) @ luts_flat   (bf16 exact: LUT
+    #   values are u8 integers, one-hots are 0/1, f32 accumulation)
+    #   out[p] = R[y, :] @ W[p].reshape(ty, tx) @ C[:, x]
+    # This replaces the earlier 256-level select scan, whose per-level
+    # R@plane@C matmuls were K=9 contractions (~7% MXU depth) and whose
+    # accumulator made 256 full-image HBM round-trips: measured 22 ms ->
+    # the one-hot form is one K=256 matmul at full depth. The quadratic
+    # form contracts in the same (ty-then-tx) f32 nesting as the old
+    # matmul chain, inheriting the documented ±1 LSB cvRound-boundary
+    # contract vs the gather path.
+    ty_n, tx_n = int(luts.shape[0]), int(luts.shape[1])
+    lut_flat = (luts.reshape(ty_n * tx_n, 256).T).astype(jnp.bfloat16)
+    lvl = jnp.arange(256, dtype=jnp.int32)
+    oh = (v.reshape(-1)[:, None] == lvl[None, :]).astype(jnp.bfloat16)
+    W = jnp.matmul(oh, lut_flat, preferred_element_type=jnp.float32)
+    W = W.reshape(h, w, ty_n, tx_n)
+    tmp = jnp.einsum("yt,ywtx->ywx", R, W,
+                     precision=jax.lax.Precision.HIGHEST)   # (h, w, tx)
+    res = jnp.einsum("ywx,xw->yw", tmp, C,
+                     precision=jax.lax.Precision.HIGHEST)
     return saturate_u8(res)

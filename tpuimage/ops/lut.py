@@ -10,7 +10,13 @@ reformulates a lookup as hi/lo one-hot contractions on the MXU:
 
 with float32 HIGHEST-precision contractions, which select (not blend)
 exact table values, so results are bit-identical to the gather.
-~0.5-6 GMACs per megapixel depending on table size — fractions of a ms.
+
+The lookup is one flat op over all pixels: XLA fuses the iota-compare
+one-hot construction into the matmul's tiles, so the (pixels, n_hi)
+indicator never materializes to HBM. An earlier version processed pixels
+in 64k lax.map chunks to bound a feared one-hot working set — measured
+3.2x SLOWER on v5e (0.73 vs 0.23 ms for 2.2 MP of 4.4k-entry lookups):
+the chunk loop blocks exactly that fusion.
 """
 from __future__ import annotations
 
@@ -21,15 +27,11 @@ from jax import lax
 _LO = 64
 
 
-_CHUNK = 65536
-
-
 def lut_lookup(table: jnp.ndarray, idx: jnp.ndarray,
                impl: str = "auto") -> jnp.ndarray:
     """table: (N,) numeric; idx: any-shape int in [0, N). Returns
     table[idx] with the same shape as idx, computed via one-hot
-    contractions (exact). Pixels are processed in 64k chunks to bound the
-    one-hot working set (a megapixel x 48-row one-hot would be ~200 MB).
+    contractions (exact).
 
     impl: "auto" picks gather on CPU / one-hot MXU contraction elsewhere;
     "gather" / "mxu" force a path (tests assert both agree on CPU)."""
@@ -49,19 +51,12 @@ def lut_lookup(table: jnp.ndarray, idx: jnp.ndarray,
 
     shape = idx.shape
     v = idx.reshape(-1).astype(jnp.int32)
-    total = v.shape[0]
-    cpad = (-total) % _CHUNK
-    vp = jnp.pad(v, (0, cpad)).reshape(-1, _CHUNK)
-
-    def one_chunk(chunk):
-        hi = chunk // _LO
-        lo = chunk % _LO
-        oh_hi = (hi[:, None] == hi_iota[None, :]).astype(jnp.float32)
-        rows = jnp.matmul(oh_hi, t2d, precision=lax.Precision.HIGHEST)
-        oh_lo = (lo[:, None] == lo_iota[None, :]).astype(jnp.float32)
-        return jnp.sum(rows * oh_lo, axis=-1)
-
-    out = lax.map(one_chunk, vp).reshape(-1)[:total]
+    hi = v // _LO
+    lo = v % _LO
+    oh_hi = (hi[:, None] == hi_iota[None, :]).astype(jnp.float32)
+    rows = jnp.matmul(oh_hi, t2d, precision=lax.Precision.HIGHEST)
+    oh_lo = (lo[:, None] == lo_iota[None, :]).astype(jnp.float32)
+    out = jnp.sum(rows * oh_lo, axis=-1)
     return out.reshape(shape).astype(table.dtype)
 
 
