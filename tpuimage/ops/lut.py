@@ -53,6 +53,13 @@ def lut_lookup(table: jnp.ndarray, idx: jnp.ndarray,
     v = idx.reshape(-1).astype(jnp.int32)
     hi = v // _LO
     lo = v % _LO
+
+    # The row-select matmul does P x n MACs — selection by dense
+    # contraction inherently costs table-size MACs per pixel. (A bf16
+    # byte-split of integer tables — 2-3 bf16 matmuls replacing this one
+    # f32-HIGHEST matmul — measured 1.8x SLOWER end-to-end on v5e, night
+    # pipeline 51 vs 29 ms at batch 8: the extra matmuls re-stage the
+    # one-hot operand and break its construction fusion. f32 stays.)
     oh_hi = (hi[:, None] == hi_iota[None, :]).astype(jnp.float32)
     rows = jnp.matmul(oh_hi, t2d, precision=lax.Precision.HIGHEST)
     oh_lo = (lo[:, None] == lo_iota[None, :]).astype(jnp.float32)
