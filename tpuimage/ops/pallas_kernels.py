@@ -245,14 +245,17 @@ def gaussian_pallas_applicable(img, ksize: int) -> bool:
 # Hough vote accumulation
 # ---------------------------------------------------------------------------
 
-_HOUGH_LO = 128      # lane-aligned lo-bin width
+_HOUGH_LO = 64       # lo-bin width: 64 measured fastest on v5e for A4-page
+                     # rho ranges (vote kernel 6.8 ms vs 8.7 at 128 and
+                     # 10.2 at 32, batch 8) — fewer one-hot lo rows beats
+                     # full-lane alignment
 _HOUGH_BANDS = 128   # compaction bands (edge e lives in band flat_idx % 128)
 _HOUGH_ROWS = 64     # rows per in-kernel chunk (chunk = ROWS * BANDS edges)
 
 
 def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
                        mxu_dtype, acc_dtype, rows: int = _HOUGH_ROWS,
-                       swap_mn: bool = False):
+                       swap_mn: bool = False, lo_bins: int = _HOUGH_LO):
     """votes[theta] = sum_e onehot_hi(r_e)^T @ onehot_lo(r_e) for one theta.
 
     Performance notes (measured on the axon chip, 8x 849x1200 pages):
@@ -274,10 +277,10 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
       batch 8 — the s8 dot does not hit the chip's 2x int8 rate), so bf16
       is the default; the int8 path is kept selectable (mxu_dtype).
     """
-    invalid_bin = n_hi * _HOUGH_LO - 1  # spare hi row, dropped by caller
+    invalid_bin = n_hi * lo_bins - 1  # spare hi row, dropped by caller
     chunk = rows * _HOUGH_BANDS
 
-    acc_shape = (_HOUGH_LO, n_hi) if swap_mn else (n_hi, _HOUGH_LO)
+    acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
 
     def kernel(nt_ref, ct_ref, st_ref, xs_ref, ys_ref, out_ref, acc_ref):
         t = pl.program_id(0)
@@ -296,11 +299,11 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
             r = jnp.round(x * ct + y * st).astype(jnp.int32) + r_shift
             ok = (r >= 0) & (r < nbins)
             r = jnp.where(ok, r, invalid_bin).reshape(1, chunk)
-            hi = r // _HOUGH_LO
-            lo = r % _HOUGH_LO
+            hi = r // lo_bins
+            lo = r % lo_bins
             ohT_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (n_hi, chunk), 0)
                       ).astype(mxu_dtype)
-            ohT_lo = (lo == jax.lax.broadcasted_iota(jnp.int32, (_HOUGH_LO, chunk), 0)
+            ohT_lo = (lo == jax.lax.broadcasted_iota(jnp.int32, (lo_bins, chunk), 0)
                       ).astype(mxu_dtype)
             a, b = (ohT_lo, ohT_hi) if swap_mn else (ohT_hi, ohT_lo)
             acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
@@ -326,14 +329,15 @@ HOUGH_POISON_Y = 1.0e9
 @functools.partial(jax.jit, static_argnames=("numrho", "theta_bins",
                                              "interpret", "rho_base",
                                              "rho_bins", "mxu", "rows",
-                                             "swap_mn"))
+                                             "swap_mn", "lo_bins"))
 def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        counts: jnp.ndarray, numrho: int,
                        theta_bins: int = 180,
                        interpret: bool = False, rho_base: int = 0,
                        rho_bins: int = 0, mxu: str = "bf16",
                        rows: int = _HOUGH_ROWS,
-                       swap_mn: bool = False) -> jnp.ndarray:
+                       swap_mn: bool = False,
+                       lo_bins: int = _HOUGH_LO) -> jnp.ndarray:
     """(numrho, theta_bins) int32 vote accumulator over a band-compacted
     edge list — the Pallas production path of ops.hough.hough_accumulator
     (identical counts: same f32 round, same one-hot matmul contraction).
@@ -365,7 +369,7 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     assert numrho < 90000 and theta_bins <= 3600  # poison-coordinate bound
     if rho_bins <= 0:
         rho_base, rho_bins = 0, numrho
-    n_hi = (rho_bins + _HOUGH_LO - 1) // _HOUGH_LO + 1  # +1 spare row
+    n_hi = (rho_bins + lo_bins - 1) // lo_bins + 1  # +1 spare row
     r_shift = (numrho - 1) // 2 - rho_base
     mxu_dtype = jnp.int8 if mxu == "int8" else jnp.bfloat16
     acc_dtype = jnp.int32 if mxu == "int8" else jnp.float32
@@ -377,8 +381,8 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                ).astype(jnp.int32).reshape(1, 1)
 
     kernel = _make_hough_kernel(r_shift, n_hi, rho_bins, mxu_dtype,
-                                acc_dtype, rows, swap_mn)
-    acc_shape = (_HOUGH_LO, n_hi) if swap_mn else (n_hi, _HOUGH_LO)
+                                acc_dtype, rows, swap_mn, lo_bins)
+    acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
     votes = pl.pallas_call(
         kernel,
         grid=(theta_bins,),
@@ -406,7 +410,7 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
         votes = votes.transpose(0, 2, 1)  # (theta, lo, hi) -> (theta, hi, lo)
     # drop the spare row's lane range, pad the clipped (provably zero-vote)
     # rho range back, return in (numrho, theta) layout
-    v = votes.reshape(theta_bins, n_hi * _HOUGH_LO)[:, :rho_bins].astype(jnp.int32)
+    v = votes.reshape(theta_bins, n_hi * lo_bins)[:, :rho_bins].astype(jnp.int32)
     if rho_bins < numrho:
         v = jnp.pad(v, ((0, 0), (rho_base, numrho - rho_base - rho_bins)))
     return v.T
