@@ -55,8 +55,12 @@ def bench_tpu(page: np.ndarray) -> float:
         def body(i, carry):
             b_, acc = carry
             clean = docscan.docscan_post_warp_batch(b_, cfg)["clean"]
-            tok = clean[0, ::511, ::511].astype(jnp.int32).sum()
-            b_next = b_.at[0, 0, 0, 0].set((tok % 251).astype(jnp.uint8))
+            # token depends on EVERY output element, and the perturbation
+            # touches EVERY batch element — a sampled token lets XLA slice
+            # away elementwise tails, and a single-element perturbation
+            # lets it hoist the other elements' loop-invariant work
+            tok = clean.astype(jnp.int32).sum()
+            b_next = b_.at[:, 0, 0, 0].set((tok % 251).astype(jnp.uint8))
             return b_next, acc + tok
         return lax.fori_loop(0, REPS, body, (b, jnp.int32(0)))[1]
 

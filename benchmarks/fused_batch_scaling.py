@@ -48,10 +48,11 @@ def main():
             def body(i, carry):
                 b_, acc = carry
                 clean = docscan.docscan_post_warp_batch(b_, cfg)["clean"]
-                tok = clean[0, ::511, ::511].astype(jnp.int32).sum()
-                # perturb one pixel from the previous output: kills CSE,
-                # preserves the workload
-                b_next = b_.at[0, 0, 0, 0].set((tok % 251).astype(jnp.uint8))
+                # full-sum token + all-batch perturbation: a sampled token
+                # lets XLA slice away elementwise tails, and perturbing one
+                # element lets it hoist the others' loop-invariant work
+                tok = clean.astype(jnp.int32).sum()
+                b_next = b_.at[:, 0, 0, 0].set((tok % 251).astype(jnp.uint8))
                 return b_next, acc + tok
             _, acc = lax.fori_loop(0, REPS, body, (b, jnp.int32(0)))
             return acc

@@ -33,22 +33,46 @@ def timeit_host(fn, n=3):
     return (time.perf_counter() - t0) / n
 
 
-def timeit_tpu(jfn, arg, n=5):
-    """jfn must return a scalar; sync via scalar fetch (RTT-subtracted)."""
+def timeit_tpu(jfn, arg, reps=8, rounds=3):
+    """jfn must return an int32 scalar depending on EVERY output element
+    (full-array sums, not sampled slices — XLA pushes a sampling slice
+    through elementwise tails and computes only the sampled pixels).
+    Timing: the program is repeated reps times inside one jit with a data
+    dependency chained through each iteration, so the ~30 ms tunnel RTT
+    and its variance cancel; per-iter = (best_dispatch - rtt) / reps."""
     import jax
     import jax.numpy as jnp
-    f = jax.jit(jfn)
-    float(np.asarray(f(arg)))
+    from jax import lax
+
+    @jax.jit
+    def chained(x):
+        def body(i, carry):
+            x_, acc = carry
+            tok = jfn(x_).astype(jnp.int32)
+            upd = (tok % 251).astype(x_.dtype)
+            # indexed point update in EVERY batch element — reshape(-1)
+            # on a tiled TPU layout forces a full relayout copy
+            # (+14 ms/iter on a 24 MB batch), and perturbing only
+            # element 0 lets XLA hoist the other elements' loop-invariant
+            # work out of the fori_loop (classify cues measured a
+            # phantom 88k MP/s that way)
+            x_ = x_.at[(slice(None),) + (0,) * (x_.ndim - 1)].set(upd)
+            return x_, acc + tok
+        return lax.fori_loop(0, reps, body, (x, jnp.int32(0)))[1]
+
     g = jax.jit(lambda x: x.reshape(-1)[0].astype(jnp.int32))
-    float(np.asarray(g(arg)))
+    int(np.asarray(g(arg)))
     t0 = time.perf_counter()
-    for _ in range(n):
-        float(np.asarray(g(arg)))
-    rtt = (time.perf_counter() - t0) / n
-    t0 = time.perf_counter()
-    for _ in range(n):
-        float(np.asarray(f(arg)))
-    return max((time.perf_counter() - t0) / n - rtt, 1e-9)
+    for _ in range(5):
+        int(np.asarray(g(arg)))
+    rtt = (time.perf_counter() - t0) / 5
+    int(np.asarray(chained(arg)))  # compile + warm
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        int(np.asarray(chained(arg)))
+        best = min(best, time.perf_counter() - t0)
+    return max((best - rtt) / reps, 1e-9)
 
 
 def main():
@@ -73,7 +97,7 @@ def main():
     from tpuimage.pipelines.morphseq import morphseq_batch
     batch = jnp.asarray(np.broadcast_to(rgb, (B,) + rgb.shape).copy())
     tpu_t = timeit_tpu(lambda b: morphseq_batch(b)["step4_closed"]
-                       .astype(jnp.int32)[:, ::31, ::31].sum(), batch)
+                       .astype(jnp.int32).sum(), batch, reps=24)
     results.append(("morph_seq", mp / timeit_host(cpu_morph), B * mp / tpu_t))
 
     # --- 2. FaceEnhancement denoise core (gaussian branch pre-eye stages) ---
@@ -98,7 +122,7 @@ def main():
     fb = jnp.asarray(np.broadcast_to(face, (B,) + face.shape).copy())
     tpu_t = timeit_tpu(lambda b: jax.vmap(
         lambda im: face_pre_eyes(im, noise_type="gaussian")["skin_enhanced"])(b)
-        .astype(jnp.int32)[:, ::31, ::31].sum(), fb)
+        .astype(jnp.int32).sum(), fb)
     results.append(("face_denoise", mp / timeit_host(cpu_face), B * mp / tpu_t))
 
     # --- 3. Night pipeline on nightview.png ---
@@ -116,7 +140,7 @@ def main():
     from tpuimage.pipelines.night import night_rgb_batch
     nb = jnp.asarray(np.broadcast_to(night_img, (B,) + night_img.shape).copy())
     tpu_t = timeit_tpu(lambda b: night_rgb_batch(b)["enhanced"]
-                       .astype(jnp.int32)[:, ::31, ::31].sum(), nb)
+                       .astype(jnp.int32).sum(), nb)
     results.append(("night", mp / timeit_host(cpu_night), B * mp / tpu_t))
 
     # --- 4. Fused DocScanner post-warp (A4@1200) ---
@@ -128,7 +152,7 @@ def main():
     pb = jnp.asarray(np.broadcast_to(page, (B,) + page.shape).copy())
     cfg = docscan.GUI_DOCUMENT_CONFIG
     tpu_t = timeit_tpu(lambda b: docscan.docscan_post_warp_batch(b, cfg)["clean"]
-                       .astype(jnp.int32)[:, ::311, ::311].sum(), pb)
+                       .astype(jnp.int32).sum(), pb)
     results.append(("docscan_fused", cpu_mps, B * mp / tpu_t))
 
     # --- 5. Batched classification cues + preset application over public/ ---
@@ -149,8 +173,16 @@ def main():
 
     from tpuimage.classify.heuristic import _device_cues
     sj = jnp.asarray(stack)
-    tpu_t = timeit_tpu(lambda s: jax.vmap(
-        lambda im: _device_cues(im)[0] + _device_cues(im)[2])(s).sum(), sj)
+    # tiny per-iter workload (0.8 MP): needs many reps so the chained
+    # time clears the tunnel-RTT variance. The token consumes EVERY cue
+    # (selecting a subset let XLA dead-code the Canny+Hough cues and
+    # report a phantom 74k MP/s).
+    def cue_tok(s):
+        def one(im):
+            wr, lc, br, binary = _device_cues(im)
+            return (wr + lc + br).astype(jnp.float32) + binary.astype(jnp.float32).sum()
+        return jax.vmap(one)(s).sum()
+    tpu_t = timeit_tpu(cue_tok, sj, reps=96)
     results.append(("classify_cues", mp / timeit_host(cpu_classify), mp / tpu_t))
 
     print("| Config | Reference CPU MP/s | TPU MP/s/chip | Speedup |")

@@ -168,6 +168,12 @@ def canny(gray: jnp.ndarray, low: float, high: float,
 
     h, w = gray.shape
     max_iters = max_hysteresis_iters or (h + w)
+    # 8 masked growth steps per convergence check: the full-array
+    # `any(new != s)` reduction per single-step iteration dominated the
+    # loop on long weak-edge chains (landscape images run hundreds of
+    # steps); extra steps past convergence are no-ops (grow is monotone
+    # with fixpoint weak-reachability), so the result is identical
+    unroll = 8
 
     def cond(state):
         i, s, changed = state
@@ -175,9 +181,10 @@ def canny(gray: jnp.ndarray, low: float, high: float,
 
     def body(state):
         i, s, _ = state
-        grown = weak & dilate8(s)
-        new = s | grown
-        return i + 1, new, jnp.any(new != s)
+        new = s
+        for _ in range(unroll):
+            new = new | (weak & dilate8(new))
+        return i + unroll, new, jnp.any(new != s)
 
     _, strong, _ = lax.while_loop(cond, body, (jnp.int32(0), strong, jnp.bool_(True)))
     return jnp.where(strong, jnp.uint8(255), jnp.uint8(0))

@@ -282,10 +282,7 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
 
     acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
 
-    def kernel(nt_ref, ct_ref, st_ref, xs_ref, ys_ref, out_ref, acc_ref):
-        t = pl.program_id(0)
-        ct = ct_ref[t, 0]
-        st = st_ref[t, 0]
+    def accumulate_theta(ct, st, nt_ref, xs_ref, ys_ref, acc_ref):
         acc_ref[:] = jnp.zeros(acc_shape, acc_dtype)
 
         def body(c, _):
@@ -312,9 +309,30 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
             return 0
 
         jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
+
+    def kernel(nt_ref, ct_ref, st_ref, xs_ref, ys_ref, out_ref, acc_ref):
+        t = pl.program_id(0)
+        accumulate_theta(ct_ref[t, 0], st_ref[t, 0], nt_ref, xs_ref, ys_ref,
+                         acc_ref)
         out_ref[:] = acc_ref[:].reshape((1,) + acc_shape)
 
-    return kernel
+    def kernel_inner(nt_ref, ct_ref, st_ref, xs_ref, ys_ref, out_ref,
+                     acc_ref):
+        # all theta bins in ONE grid step (fori inside): for small edge
+        # sets the per-grid-step machinery dominates (measured on 256x256
+        # classifier-cue images: 2160 vmapped (image, theta) steps cost
+        # more than the voting itself)
+        n_t = ct_ref.shape[0]
+
+        def tloop(t, _):
+            accumulate_theta(ct_ref[t, 0], st_ref[t, 0], nt_ref, xs_ref,
+                             ys_ref, acc_ref)
+            out_ref[pl.ds(t, 1)] = acc_ref[:].reshape((1,) + acc_shape)
+            return 0
+
+        jax.lax.fori_loop(0, n_t, tloop, 0)
+
+    return kernel, kernel_inner
 
 
 # Poison coordinates for invalid edge slots: r = x cos(t) + y sin(t) lands
@@ -326,10 +344,18 @@ HOUGH_POISON_X = 1.0e5
 HOUGH_POISON_Y = 1.0e9
 
 
+# kb row-count threshold below which the theta loop runs INSIDE one grid
+# step: for small edge sets (tiny classifier-cue images) the per-grid-step
+# machinery dominates the voting work (measured: 12x 256x256 cue images
+# 6.5 ms as 2160 grid steps)
+_THETA_INNER_MAX_KB = 128
+
+
 @functools.partial(jax.jit, static_argnames=("numrho", "theta_bins",
                                              "interpret", "rho_base",
                                              "rho_bins", "mxu", "rows",
-                                             "swap_mn", "lo_bins"))
+                                             "swap_mn", "lo_bins",
+                                             "theta_inner"))
 def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        counts: jnp.ndarray, numrho: int,
                        theta_bins: int = 180,
@@ -337,7 +363,8 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        rho_bins: int = 0, mxu: str = "bf16",
                        rows: int = _HOUGH_ROWS,
                        swap_mn: bool = False,
-                       lo_bins: int = _HOUGH_LO) -> jnp.ndarray:
+                       lo_bins: int = _HOUGH_LO,
+                       theta_inner: str = "auto") -> jnp.ndarray:
     """(numrho, theta_bins) int32 vote accumulator over a band-compacted
     edge list — the Pallas production path of ops.hough.hough_accumulator
     (identical counts: same f32 round, same one-hot matmul contraction).
@@ -380,9 +407,35 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     n_trips = ((jnp.max(counts) + rows - 1) // rows
                ).astype(jnp.int32).reshape(1, 1)
 
-    kernel = _make_hough_kernel(r_shift, n_hi, rho_bins, mxu_dtype,
-                                acc_dtype, rows, swap_mn, lo_bins)
+    kernel, kernel_inner = _make_hough_kernel(r_shift, n_hi, rho_bins,
+                                              mxu_dtype, acc_dtype, rows,
+                                              swap_mn, lo_bins)
     acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
+    if theta_inner == "auto":
+        theta_inner = "inner" if kb <= _THETA_INNER_MAX_KB else "grid"
+    if theta_inner == "inner":
+        votes = pl.pallas_call(
+            kernel_inner,
+            out_shape=jax.ShapeDtypeStruct((theta_bins,) + acc_shape,
+                                           acc_dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM(acc_shape, acc_dtype)],
+            interpret=interpret,
+        )(n_trips, cos_t, sin_t, xs_t, ys_t)
+        if swap_mn:
+            votes = votes.transpose(0, 2, 1)
+        v = votes.reshape(theta_bins, n_hi * lo_bins)[:, :rho_bins
+                                                      ].astype(jnp.int32)
+        if rho_bins < numrho:
+            v = jnp.pad(v, ((0, 0), (rho_base, numrho - rho_base - rho_bins)))
+        return v.T
     votes = pl.pallas_call(
         kernel,
         grid=(theta_bins,),
