@@ -95,6 +95,52 @@ class TestSpatialHalo:
         np.testing.assert_allclose(out, np.asarray(img))
 
 
+class TestSpatialGlobalStats:
+    """Round-2 VERDICT item 5: pipelines with GLOBAL statistics (CLAHE tile
+    hists, Otsu, min-max) running spatially sharded, full-image-equal."""
+
+    def test_night_gray_sharded_bitexact(self, rng, space_mesh):
+        from tpuimage.runtime.spatial import night_gray_spatial
+        from tpuimage.ops.histogram import clahe
+        img = rng.integers(0, 256, size=(256, 128), dtype=np.uint8)
+        out = night_gray_spatial(jnp.asarray(img), space_mesh)
+        # bit-exact vs the same math unsharded (the TPU production path:
+        # matrix CLAHE apply)
+        filt_ref = median_blur(jnp.asarray(img), 3)
+        enh_ref = clahe(filt_ref, clip_limit=2.0, tiles_x=8, tiles_y=8,
+                        impl="mxu")
+        np.testing.assert_array_equal(np.asarray(out["filtered"]),
+                                      np.asarray(filt_ref))
+        np.testing.assert_array_equal(np.asarray(out["enhanced"]),
+                                      np.asarray(enh_ref))
+        # and vs cv2 itself within the documented ±1 LSB contract
+        ref = cv2.createCLAHE(2.0, (8, 8)).apply(cv2.medianBlur(img, 3))
+        d = np.abs(np.asarray(out["enhanced"]).astype(int) - ref.astype(int))
+        assert d.max() <= 1 and np.mean(d > 0) < 0.005
+
+    def test_global_reductions_match_unsharded(self, rng, space_mesh):
+        from tpuimage.runtime import spatial as sp
+        from tpuimage.ops.histogram import hist256, otsu_from_hist
+        from tpuimage.ops.arith import normalize_minmax
+        from jax.sharding import PartitionSpec as P
+        img = rng.integers(10, 240, size=(128, 64), dtype=np.uint8)
+        x = jnp.asarray(img)
+
+        def local(g):
+            h = sp.global_hist256(g, "space")
+            t = otsu_from_hist(h)
+            norm = sp.global_normalize_minmax(g, "space")
+            return h, t, norm
+
+        hs, ts, norm = jax.shard_map(
+            local, mesh=space_mesh, in_specs=(P("space", None),),
+            out_specs=(P(), P(), P("space", None)))(x)
+        np.testing.assert_array_equal(np.asarray(hs), np.asarray(hist256(x)))
+        assert float(ts) == float(otsu_from_hist(hist256(x)))
+        np.testing.assert_array_equal(np.asarray(norm),
+                                      np.asarray(normalize_minmax(x)))
+
+
 class TestDpSpatial:
     def test_two_axis_mesh_full_image(self, rng):
         mesh = rt.make_mesh(8, axis_names=("data", "space"), shape=(2, 4))

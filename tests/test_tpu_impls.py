@@ -143,3 +143,25 @@ class TestHoughPallas:
         b = np.asarray(hough_mod.hough_accumulator(jnp.asarray(edges), impl="pallas"))
         assert (b.sum(axis=0) == 1).all()  # one vote per theta
         np.testing.assert_array_equal(b, self._scatter_ref(edges))
+
+    @pytest.mark.parametrize("impl", ["xla", "pallas"])
+    def test_overflow_flag(self, impl):
+        """Edge sets denser than the budget must fail LOUDLY (round-2
+        VERDICT item 6): an all-edges image with a tiny max_edges budget
+        raises the overflow flag; the same image within budget does not."""
+        edges = np.full((64, 64), 255, np.uint8)  # 4096 edges, all bands full
+        dense_kw = dict(max_edges=1024, impl=impl, return_overflow=True)
+        _, overflow = hough_mod.hough_accumulator(jnp.asarray(edges), **dense_kw)
+        assert bool(np.asarray(overflow))
+        _, ok = hough_mod.hough_accumulator(jnp.asarray(edges), max_edges=4096,
+                                            impl=impl, return_overflow=True)
+        assert not bool(np.asarray(ok))
+
+    def test_overflow_surfaces_in_docscan(self, rng):
+        """docscan_post_warp carries the flag out (False on a real page)."""
+        from tpuimage.pipelines import docscan
+        page = (rng.random((96, 68, 3)) * 255).astype(np.uint8)
+        out = docscan.docscan_post_warp(jnp.asarray(page),
+                                        docscan.GUI_DOCUMENT_CONFIG)
+        assert "deskew_overflow" in out
+        assert not bool(np.asarray(out["deskew_overflow"]))

@@ -218,35 +218,49 @@ def clahe(gray: jnp.ndarray, clip_limit: float = 40.0,
     # removes all per-pixel gathers (4 x megapixel gathers measured ~120 ms
     # on TPU; the scan runs in ~2 ms). OpenCV coord math preserved:
     # inv_th = 1.0f/tileHeight (f32 divide), tyf = y*inv_th - 0.5f.
-    def blend_matrix(n_pix, tile, n_tiles):
-        pf = (np.arange(n_pix, dtype=np.float32)
-              * (np.float32(1.0) / np.float32(tile)) - np.float32(0.5))
-        t1 = np.floor(pf).astype(np.int64)
-        fa = (pf - t1).astype(np.float32)
-        t1c = np.clip(t1, 0, n_tiles - 1)
-        t2c = np.clip(t1 + 1, 0, n_tiles - 1)
-        M = np.zeros((n_pix, n_tiles), dtype=np.float32)
-        M[np.arange(n_pix), t1c] += 1.0 - fa
-        M[np.arange(n_pix), t2c] += fa
-        return M
+    R = jnp.asarray(clahe_blend_matrix(h, th, tiles_y))      # (h, ty)
+    C = jnp.asarray(clahe_blend_matrix(w, tw, tiles_x).T)    # (tx, w)
+    return clahe_apply_matrix(gray, luts, R, C)
 
-    R = jnp.asarray(blend_matrix(h, th, tiles_y))            # (h, ty)
-    C = jnp.asarray(blend_matrix(w, tw, tiles_x).T)          # (tx, w)
 
+def clahe_blend_matrix(n_pix: int, tile: int, n_tiles: int) -> np.ndarray:
+    """Static (n_pix, n_tiles) bilinear tile-blend matrix (OpenCV coord
+    math: inv_t = 1.0f/tile as an f32 divide, pf = p*inv_t - 0.5f)."""
+    pf = (np.arange(n_pix, dtype=np.float32)
+          * (np.float32(1.0) / np.float32(tile)) - np.float32(0.5))
+    t1 = np.floor(pf).astype(np.int64)
+    fa = (pf - t1).astype(np.float32)
+    t1c = np.clip(t1, 0, n_tiles - 1)
+    t2c = np.clip(t1 + 1, 0, n_tiles - 1)
+    M = np.zeros((n_pix, n_tiles), dtype=np.float32)
+    M[np.arange(n_pix), t1c] += 1.0 - fa
+    M[np.arange(n_pix), t2c] += fa
+    return M
+
+
+def clahe_apply_matrix(gray: jnp.ndarray, luts: jnp.ndarray,
+                       R: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
+    """The CLAHE apply step given per-tile LUTs and blend matrices.
+
+    Per-pixel tile-LUT rows via ONE MXU one-hot contraction, then the
+    bilinear tile blend as a per-pixel quadratic form:
+      W[p, ty*tx] = onehot_256(v[p]) @ luts_flat   (bf16 exact: LUT
+      values are u8 integers, one-hots are 0/1, f32 accumulation)
+      out[p] = R[y, :] @ W[p].reshape(ty, tx) @ C[:, x]
+    This replaces the earlier 256-level select scan, whose per-level
+    R@plane@C matmuls were K=9 contractions (~7% MXU depth) and whose
+    accumulator made 256 full-image HBM round-trips: measured 22 ms ->
+    the one-hot form is one K=256 matmul at full depth. The quadratic
+    form contracts in the same (ty-then-tx) f32 nesting as the old
+    matmul chain, inheriting the documented ±1 LSB cvRound-boundary
+    contract vs the gather path.
+
+    R may be a SLICE of the full row-blend matrix (h_local, ty) — that is
+    the sharded CLAHE apply: each shard passes its own rows of R against
+    the globally gathered LUT table (runtime/spatial.py).
+    """
+    h, w = gray.shape
     v = i32(gray)
-
-    # Per-pixel tile-LUT rows via ONE MXU one-hot contraction, then the
-    # bilinear tile blend as a per-pixel quadratic form:
-    #   W[p, ty*tx] = onehot_256(v[p]) @ luts_flat   (bf16 exact: LUT
-    #   values are u8 integers, one-hots are 0/1, f32 accumulation)
-    #   out[p] = R[y, :] @ W[p].reshape(ty, tx) @ C[:, x]
-    # This replaces the earlier 256-level select scan, whose per-level
-    # R@plane@C matmuls were K=9 contractions (~7% MXU depth) and whose
-    # accumulator made 256 full-image HBM round-trips: measured 22 ms ->
-    # the one-hot form is one K=256 matmul at full depth. The quadratic
-    # form contracts in the same (ty-then-tx) f32 nesting as the old
-    # matmul chain, inheriting the documented ±1 LSB cvRound-boundary
-    # contract vs the gather path.
     ty_n, tx_n = int(luts.shape[0]), int(luts.shape[1])
     lut_flat = (luts.reshape(ty_n * tx_n, 256).T).astype(jnp.bfloat16)
     lvl = jnp.arange(256, dtype=jnp.int32)

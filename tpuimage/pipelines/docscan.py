@@ -211,10 +211,15 @@ def _deskew_angle(binary: jnp.ndarray, canny_low: int, canny_high: int,
 
     hough_fold_median_angle computes the median over ALL peaks via
     per-theta counts (no line cap — exact for arbitrarily dense pages,
-    unlike the earlier top-512 extraction)."""
+    unlike the earlier top-512 extraction). Also returns the edge-budget
+    overflow flag: True means the Hough compaction dropped edges and the
+    angle is an undercount statistic (never observed on real pages —
+    budgets are ~1.5-9x above measured Canny densities — but dense
+    synthetic inputs now fail loudly instead of deskewing wrong)."""
     edges = canny(binary, canny_low, canny_high)
-    med = hough_fold_median_angle(edges, threshold=150)
-    return jnp.where(jnp.abs(med) > max_rotate, 0.0, med)
+    med, overflow = hough_fold_median_angle(edges, threshold=150,
+                                            return_overflow=True)
+    return jnp.where(jnp.abs(med) > max_rotate, 0.0, med), overflow
 
 
 def _pre_deskew_stages(warped_rgb: jnp.ndarray, config: DocScanConfig) -> Dict[str, jnp.ndarray]:
@@ -309,12 +314,14 @@ def docscan_post_warp(warped_rgb: jnp.ndarray, config: DocScanConfig) -> Dict[st
     weighted = pre["weighted"]
     # deskew (:217-236): in-graph angle + traced rotation; angle==0 (the
     # common outcome) short-circuits to identity in unbatched runs.
-    angle = _deskew_angle(weighted, c.canny_low, c.canny_high, c.max_rotate)
+    angle, overflow = _deskew_angle(weighted, c.canny_low, c.canny_high,
+                                    c.max_rotate)
     rot = _rotate_for(c)
     desk = jax.lax.cond(angle == 0.0, lambda im: im,
                         lambda im: rot(im, angle), weighted)
     clean = _morph_cleanup(desk, c)
-    return {**pre, "deskew": desk, "clean": clean, "deskew_angle": angle}
+    return {**pre, "deskew": desk, "clean": clean, "deskew_angle": angle,
+            "deskew_overflow": overflow}
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -330,7 +337,7 @@ def docscan_post_warp_batch(warped_batch: jnp.ndarray, config: DocScanConfig):
     c = config
     pre = jax.vmap(lambda im: _pre_deskew_stages(im, c))(warped_batch)
     weighted = pre["weighted"]
-    angles = jax.vmap(
+    angles, overflows = jax.vmap(
         lambda wt: _deskew_angle(wt, c.canny_low, c.canny_high, c.max_rotate)
     )(weighted)
     rot = _rotate_for(c)
@@ -340,7 +347,8 @@ def docscan_post_warp_batch(warped_batch: jnp.ndarray, config: DocScanConfig):
         lambda wb: wb,
         weighted)
     clean = jax.vmap(lambda im: _morph_cleanup(im, c))(desk)
-    return {**pre, "deskew": desk, "clean": clean, "deskew_angle": angles}
+    return {**pre, "deskew": desk, "clean": clean, "deskew_angle": angles,
+            "deskew_overflow": overflows}
 
 
 # ---------------------------------------------------------------------------
@@ -403,6 +411,11 @@ def process_document(input_path, out_dir: Optional[str] = "outputs",
 
     result = {"quad": quad, "warped": warped, "binary": stages["clean"],
               "use_whole": use_whole, "stages": stages}
+    if bool(np.asarray(stages["deskew_overflow"])):
+        import warnings
+        warnings.warn("Hough edge budget overflowed during deskew: the "
+                      "deskew angle is computed from an undercounted vote "
+                      "accumulator; rerun with a larger max_edges.")
     return _finish_document(result, out_dir, do_ocr)
 
 
@@ -489,12 +502,16 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
             batch = shard_batch(jnp.asarray(padded), mesh)
         else:
             n_real = batch.shape[0]
-        clean = np.asarray(docscan_post_warp_batch(batch, config)["clean"])[:n_real]
+        out = docscan_post_warp_batch(batch, config)
+        clean = np.asarray(out["clean"])[:n_real]
+        oflow = np.asarray(out["deskew_overflow"])[:n_real]
         for j, i in enumerate(idxs):
-            out_by_idx[i] = clean[j]
+            out_by_idx[i] = (clean[j], bool(oflow[j]))
     for i, meta in enumerate(metas):
         if "error" in meta:
             results.append(meta)
         else:
-            results.append({**meta, "binary": out_by_idx[i]})
+            binary, oflow_i = out_by_idx[i]
+            results.append({**meta, "binary": binary,
+                            "deskew_overflow": oflow_i})
     return results
