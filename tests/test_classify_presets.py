@@ -181,3 +181,20 @@ class TestRouter:
         label, probs, out = classify_and_enhance(rgb)
         assert label == "nightscape"
         assert out.shape == rgb.shape
+
+
+class TestBatchClassify:
+    """Batch classify (one vmapped cue program + one Haar cascade pass)
+    must produce identical labels to the per-image form."""
+
+    def test_batch_matches_single(self, rng):
+        from tpuimage.io.imageio import load_image_rgb
+        imgs = [
+            np.full((96, 96, 3), 230, np.uint8),                # bright/paper
+            (rng.random((96, 96, 3)) * 40).astype(np.uint8),     # dark
+            load_image_rgb("/root/reference/public/facewithnoise.jpg"),
+        ]
+        singles_p = [heuristic.classify_priority(im) for im in imgs]
+        singles_w = [heuristic.classify_weighted(im) for im in imgs]
+        assert heuristic.classify_priority_batch(imgs) == singles_p
+        assert heuristic.classify_weighted_batch(imgs) == singles_w

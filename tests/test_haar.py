@@ -139,3 +139,21 @@ class TestMultiScaleProperties:
         gx, gy, gw, gh = got[0]
         assert abs((gx - bx) - dx) <= 12 and abs((gy - by) - dy) <= 12
         assert abs(gw - bw) <= 0.1 * bw
+
+
+class TestBatchEquivalence:
+    """detect_multi_scale_batch must equal per-image detection exactly
+    (the batch path IS the production path; round-2 VERDICT item 7)."""
+
+    def test_batch_matches_single(self):
+        imgs = [gray(f"{PUB}/facewithnoise.jpg"),
+                gray(f"{PUB}/sample.jpg")[:300, :400],
+                gray(f"{PUB}/facewith50noise.jpg")]
+        batch = haar.detect_faces_batch(imgs)
+        singles = [haar.detect_faces(g) for g in imgs]
+        assert batch == singles
+
+    def test_batch_empty_and_tiny(self):
+        out = haar.detect_faces_batch([np.zeros((10, 10), np.uint8)])
+        assert out == [[]]
+        assert haar.detect_faces_batch([]) == []

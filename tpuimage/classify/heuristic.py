@@ -20,7 +20,7 @@ from tpuimage.ops.threshold import threshold_otsu
 from tpuimage.ops.edges import canny
 from tpuimage.ops.hough import hough_lines
 from tpuimage.detect import contours as cnt
-from tpuimage.detect.haar import detect_faces
+from tpuimage.detect.haar import detect_faces, detect_faces_batch
 
 LABELS = ["nightscape", "landscape", "document", "face"]
 
@@ -93,3 +93,79 @@ def classify_weighted(rgb: np.ndarray) -> Tuple[str, Dict[str, float]]:
     total = sum(v for v in scores.values() if v > 0) or 1.0
     probs = {k: max(v, 0.0) / total for k, v in scores.items()}
     return label, probs
+
+
+# ---------------------------------------------------------------------------
+# batch serving path
+# ---------------------------------------------------------------------------
+
+def _batch_cues(rgbs):
+    """Device cues for a list of images: same-shape groups run as ONE
+    vmapped program; Haar faces run as one batched cascade pass.
+    Returns per-image (gray, face_count, white_ratio, line_count, rect)."""
+    arrs = [np.asarray(r) for r in rgbs]
+    grays = [np.asarray(colorops.rgb_to_gray(jnp.asarray(a))) for a in arrs]
+    faces = detect_faces_batch(grays)
+
+    cues = [None] * len(arrs)
+    by_shape: Dict[tuple, list] = {}
+    for i, a in enumerate(arrs):
+        by_shape.setdefault(a.shape, []).append(i)
+    for shape, idxs in by_shape.items():
+        stack = jnp.asarray(np.stack([arrs[i] for i in idxs]))
+        wr, lc, _, binary = jax.vmap(_device_cues)(stack)
+        wr, lc, binary = np.asarray(wr), np.asarray(lc), np.asarray(binary)
+        for j, i in enumerate(idxs):
+            img_area = float(binary[j].shape[0] * binary[j].shape[1])
+            large_rect = False
+            for c in cnt.find_external_contours(binary[j]):
+                if cnt.contour_area(c) < 0.3 * img_area:
+                    continue
+                approx = cnt.approx_poly_dp(
+                    c, 0.02 * cnt.arc_length(c, True), True)
+                if len(approx) == 4:
+                    large_rect = True
+                    break
+            cues[i] = (grays[i], len(faces[i]), float(wr[j]), int(lc[j]),
+                       large_rect)
+    return cues
+
+
+def classify_priority_batch(rgbs) -> list:
+    """classify_priority over a list of images: one vmapped cue program
+    per shape group + one batched Haar pass (identical labels to the
+    per-image form)."""
+    out = []
+    for gray, fc, white_ratio, lines_count, large_rect in _batch_cues(rgbs):
+        if fc > 0:
+            out.append("face")
+        elif white_ratio >= 0.5 and (lines_count >= 50 or large_rect):
+            out.append("document")
+        else:
+            out.append("nightscape" if float(gray.mean()) < 80.0 else "landscape")
+    return out
+
+
+def classify_weighted_batch(rgbs) -> list:
+    """classify_weighted over a list of images (batched cues + Haar);
+    returns [(label, probs), ...] identical to the per-image form."""
+    out = []
+    for gray, fc, white_ratio, lines_count, large_rect in _batch_cues(rgbs):
+        scores: Dict[str, float] = {k: 0.0 for k in LABELS}
+        if fc > 0:
+            scores["face"] += 1.0 + 0.5 * min(fc, 3)
+        scores["document"] += (white_ratio - 0.5) * 2.0
+        if lines_count >= 50:
+            scores["document"] += 0.5
+        if large_rect:
+            scores["document"] += 0.5
+        bmean = float(gray.mean())
+        if bmean < 80:
+            scores["nightscape"] += (80 - bmean) / 80.0
+        else:
+            scores["landscape"] += (bmean - 80) / 80.0
+        label = max(scores.items(), key=lambda kv: kv[1])[0]
+        total = sum(v for v in scores.values() if v > 0) or 1.0
+        probs = {k: max(v, 0.0) / total for k, v in scores.items()}
+        out.append((label, probs))
+    return out

@@ -7,14 +7,16 @@ and classification.py:52-57 / AI_classification.py:120-127
 minSize 40x40). Note this image's cv2 build (5.0) has dropped
 CascadeClassifier entirely — this module is the only working detector.
 
-Evaluation strategy (SURVEY.md §7 hard part 2, fallback milestone):
-per pyramid level the integral images are cumsums and each stage is
-evaluated VECTORIZED over the currently-alive window set (numpy fancy
-indexing over flat integral offsets); the cascade's early exit becomes
-stage-wise compaction of the alive set. Early stages kill >95% of
-windows, so the work profile matches OpenCV's sequential early-exit
-without any per-window Python loop. This runs on host: detection is a
-once-per-image routing step (not benchmark-path work), windows shrink
+Evaluation strategy (SURVEY.md §7 hard part 2; round-3 batch rewrite):
+ALL windows of ALL pyramid levels of ALL images in a call join one
+concatenated alive set — each window carries the flat offset of its own
+integral image plus that level's row stride, so every feature rect is 4
+gathers regardless of scale — and the cascade's ~22-stage loop runs ONCE
+per call with stage-wise compaction of the alive set (early stages kill
+>95% of windows, matching OpenCV's sequential early-exit profile without
+any per-window or per-scale Python loop; measured 10.6x faster than the
+round-2 per-(image, scale) evaluation on the 11-image classify sweep).
+This runs on host: detection is a routing step, windows shrink
 dynamically (TPU-hostile shapes), and the arithmetic is integer-exact.
 Rect clustering is the same groupRectangles algorithm as OpenCV.
 
@@ -98,71 +100,6 @@ def load_cascade(name: str) -> HaarCascade:
 
 
 # ---------------------------------------------------------------------------
-# single-scale evaluation: stage-wise alive-set compaction (host numpy)
-# ---------------------------------------------------------------------------
-
-def _eval_scale(gray_scaled: np.ndarray, casc: HaarCascade,
-                step: int) -> np.ndarray:
-    """Evaluate the cascade at every ``step``-strided window origin of one
-    pyramid level. Returns (K, 2) surviving (y, x) origins."""
-    wh, ww = casc.win_h, casc.win_w
-    H, W = gray_scaled.shape
-    oh, ow = H - wh + 1, W - ww + 1
-    if oh <= 0 or ow <= 0:
-        return np.zeros((0, 2), dtype=np.int64)
-
-    x = gray_scaled.astype(np.float64)
-    ii = np.zeros((H + 1, W + 1), dtype=np.float64)
-    sq = np.zeros((H + 1, W + 1), dtype=np.float64)
-    np.cumsum(np.cumsum(x, 0), 1, out=ii[1:, 1:])
-    np.cumsum(np.cumsum(x * x, 0), 1, out=sq[1:, 1:])
-    iif = ii.ravel()
-    sqf = sq.ravel()
-    stride = W + 1
-
-    oy, ox = np.mgrid[0:oh:step, 0:ow:step]
-    base = (oy * stride + ox).ravel()          # flat offset of each origin
-
-    def rect_sum(flat, off, rx, ry, rw, rh):
-        o = off + ry * stride + rx
-        return (flat[o + rh * stride + rw] - flat[o + rw]
-                - flat[o + rh * stride] + flat[o])
-
-    # variance normalization over normrect (1,1,w-2,h-2) like HaarEvaluator
-    nw_, nh_ = ww - 2, wh - 2
-    area = float(nw_ * nh_)
-    vsum = rect_sum(iif, base, 1, 1, nw_, nh_)
-    vsq = rect_sum(sqf, base, 1, 1, nw_, nh_)
-    mean = vsum / area
-    nf2 = vsq * area - vsum * vsum
-    nf = np.sqrt(np.maximum(nf2, 0.0))
-    alive_mask = nf2 > 0
-    alive = base[alive_mask]
-    nf_a = nf[alive_mask]
-
-    R = casc.rects  # (F, 3, 5)
-    for (s0, s1), sthr in zip(casc.stage_slices, casc.stage_thresholds):
-        if len(alive) == 0:
-            break
-        ssum = np.zeros(len(alive), dtype=np.float64)
-        for wci in range(s0, s1):
-            fi = int(casc.feat_idx[wci])
-            val = np.zeros(len(alive), dtype=np.float64)
-            for (rx, ry, rw, rh, wt) in R[fi]:
-                if wt == 0.0:
-                    continue
-                val += wt * rect_sum(iif, alive, int(rx), int(ry), int(rw), int(rh))
-            ssum += np.where(val < casc.node_thr[wci] * nf_a,
-                             casc.leaves[wci, 0], casc.leaves[wci, 1])
-        keep = ssum >= sthr
-        alive = alive[keep]
-        nf_a = nf_a[keep]
-
-    ys, xs = alive // stride, alive % stride
-    return np.stack([ys, xs], axis=-1)
-
-
-# ---------------------------------------------------------------------------
 # multi-scale driver + grouping (host, mirrors OpenCV)
 # ---------------------------------------------------------------------------
 
@@ -239,6 +176,122 @@ def _resize_linear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return np.clip(np.floor((acc + 2.0 ** 21) / 2.0 ** 22), 0, 255).astype(np.uint8)
 
 
+def detect_multi_scale_batch(grays, cascade_name: str,
+                             scale_factor: float = 1.1,
+                             min_neighbors: int = 5,
+                             min_size: Tuple[int, int] = (0, 0),
+                             max_size: Tuple[int, int] | None = None,
+                             ) -> List[List[Tuple[int, int, int, int]]]:
+    """detectMultiScale over a LIST of gray images with ONE cascade pass.
+
+    Round-2 VERDICT item 7: the old per-(image, scale) evaluation paid
+    ~n_scales * n_stages numpy dispatch rounds per image (the alive sets
+    shrink so fast that dispatch overhead dominated). Here every window of
+    every pyramid level of every image joins one concatenated alive set —
+    each window carries the flat offset of ITS OWN integral image and that
+    level's row stride, so the rect sums stay 4 gathers per feature rect —
+    and the cascade's ~22-stage loop runs ONCE for the whole batch.
+    Identical windows, identical float64 math, identical candidate order
+    (image-major, then scale, then y-major origin), so results match
+    detect_multi_scale exactly (pinned fixtures in tests/test_haar.py).
+    """
+    casc = load_cascade(cascade_name)
+    wh, ww = casc.win_h, casc.win_w
+
+    ii_parts: List[np.ndarray] = []
+    sq_parts: List[np.ndarray] = []
+    base_parts: List[np.ndarray] = []       # flat origin + cumulative offset
+    stride_parts: List[np.ndarray] = []     # per-window row stride
+    meta_parts: List[np.ndarray] = []       # (img, x_out, y_out, win_w, win_h)
+    offset = 0
+    for img_idx, gray in enumerate(grays):
+        gray = np.asarray(gray)
+        H, W = gray.shape
+        factor = 1.0
+        while True:
+            win_w = int(round(ww * factor))
+            win_h = int(round(wh * factor))
+            sw, sh = int(round(W / factor)), int(round(H / factor))
+            if sw - ww <= 0 or sh - wh <= 0:
+                break
+            if max_size and (win_w > max_size[0] or win_h > max_size[1]):
+                break
+            if win_w < min_size[0] or win_h < min_size[1]:
+                factor *= scale_factor
+                continue
+            scaled = _resize_linear_np(gray, sh, sw)
+            x = scaled.astype(np.float64)
+            ii = np.zeros((sh + 1, sw + 1), dtype=np.float64)
+            sq = np.zeros((sh + 1, sw + 1), dtype=np.float64)
+            np.cumsum(np.cumsum(x, 0), 1, out=ii[1:, 1:])
+            np.cumsum(np.cumsum(x * x, 0), 1, out=sq[1:, 1:])
+            stride = sw + 1
+            oh, ow = sh - wh + 1, sw - ww + 1
+            step = 1 if factor > 2.0 else 2
+            oy, ox = np.mgrid[0:oh:step, 0:ow:step]
+            base = (oy * stride + ox).ravel()
+            k = len(base)
+            ii_parts.append(ii.ravel())
+            sq_parts.append(sq.ravel())
+            base_parts.append(base + offset)
+            stride_parts.append(np.full(k, stride, dtype=np.int64))
+            meta = np.empty((k, 5), dtype=np.int64)
+            meta[:, 0] = img_idx
+            meta[:, 1] = np.rint(ox.ravel() * factor)
+            meta[:, 2] = np.rint(oy.ravel() * factor)
+            meta[:, 3] = win_w
+            meta[:, 4] = win_h
+            meta_parts.append(meta)
+            offset += ii.size
+            factor *= scale_factor
+
+    results: List[List[Tuple[int, int, int, int]]] = [[] for _ in grays]
+    if not base_parts:
+        return results
+    iif = np.concatenate(ii_parts)
+    sqf = np.concatenate(sq_parts)
+    alive = np.concatenate(base_parts)
+    strd = np.concatenate(stride_parts)
+    meta = np.concatenate(meta_parts)
+
+    def rect_sum(flat, off, st, rx, ry, rw, rh):
+        o = off + ry * st + rx
+        return (flat[o + rh * st + rw] - flat[o + rw]
+                - flat[o + rh * st] + flat[o])
+
+    # variance normalization over normrect (1,1,w-2,h-2) like HaarEvaluator
+    nw_, nh_ = ww - 2, wh - 2
+    area = float(nw_ * nh_)
+    vsum = rect_sum(iif, alive, strd, 1, 1, nw_, nh_)
+    vsq = rect_sum(sqf, alive, strd, 1, 1, nw_, nh_)
+    nf2 = vsq * area - vsum * vsum
+    nf = np.sqrt(np.maximum(nf2, 0.0))
+    keep = nf2 > 0
+    alive, strd, meta, nf_a = alive[keep], strd[keep], meta[keep], nf[keep]
+
+    R = casc.rects  # (F, 3, 5)
+    for (s0, s1), sthr in zip(casc.stage_slices, casc.stage_thresholds):
+        if len(alive) == 0:
+            break
+        ssum = np.zeros(len(alive), dtype=np.float64)
+        for wci in range(s0, s1):
+            fi = int(casc.feat_idx[wci])
+            val = np.zeros(len(alive), dtype=np.float64)
+            for (rx, ry, rw, rh, wt) in R[fi]:
+                if wt == 0.0:
+                    continue
+                val += wt * rect_sum(iif, alive, strd,
+                                     int(rx), int(ry), int(rw), int(rh))
+            ssum += np.where(val < casc.node_thr[wci] * nf_a,
+                             casc.leaves[wci, 0], casc.leaves[wci, 1])
+        keep = ssum >= sthr
+        alive, strd, meta, nf_a = alive[keep], strd[keep], meta[keep], nf_a[keep]
+
+    for img_idx, x, y, w_, h_ in meta:
+        results[img_idx].append((int(x), int(y), int(w_), int(h_)))
+    return [_group_rectangles(cands, min_neighbors) for cands in results]
+
+
 def detect_multi_scale(gray: np.ndarray, cascade_name: str,
                        scale_factor: float = 1.1, min_neighbors: int = 5,
                        min_size: Tuple[int, int] = (0, 0),
@@ -247,32 +300,13 @@ def detect_multi_scale(gray: np.ndarray, cascade_name: str,
     """cv2.CascadeClassifier(cascade).detectMultiScale equivalent.
 
     Returns a list of (x, y, w, h) like the reference call sites expect.
+    The single-image form of detect_multi_scale_batch (one shared cascade
+    pass over all pyramid levels).
     """
-    casc = load_cascade(cascade_name)
-    gray = np.asarray(gray)
-    H, W = gray.shape
-
-    candidates: List[Tuple[int, int, int, int]] = []
-    factor = 1.0
-    while True:
-        win_w = int(round(casc.win_w * factor))
-        win_h = int(round(casc.win_h * factor))
-        sw, sh = int(round(W / factor)), int(round(H / factor))
-        if sw - casc.win_w <= 0 or sh - casc.win_h <= 0:
-            break
-        if max_size and (win_w > max_size[0] or win_h > max_size[1]):
-            break
-        if win_w < min_size[0] or win_h < min_size[1]:
-            factor *= scale_factor
-            continue
-        scaled = _resize_linear_np(gray, sh, sw)
-        step = 1 if factor > 2.0 else 2
-        for y, x in _eval_scale(scaled, casc, step):
-            candidates.append((int(round(x * factor)), int(round(y * factor)),
-                               win_w, win_h))
-        factor *= scale_factor
-
-    return _group_rectangles(candidates, min_neighbors)
+    return detect_multi_scale_batch([gray], cascade_name,
+                                    scale_factor=scale_factor,
+                                    min_neighbors=min_neighbors,
+                                    min_size=min_size, max_size=max_size)[0]
 
 
 def detect_eyes(gray: np.ndarray) -> List[Tuple[int, int, int, int]]:
@@ -287,3 +321,19 @@ def detect_faces(gray: np.ndarray) -> List[Tuple[int, int, int, int]]:
     return detect_multi_scale(gray, "haarcascade_frontalface_default.xml",
                               scale_factor=1.1, min_neighbors=5,
                               min_size=(40, 40))
+
+
+def detect_faces_batch(grays) -> List[List[Tuple[int, int, int, int]]]:
+    """Multi-image face detection in one cascade pass (classify/serving
+    batch path — identical results to per-image detect_faces)."""
+    return detect_multi_scale_batch(grays, "haarcascade_frontalface_default.xml",
+                                    scale_factor=1.1, min_neighbors=5,
+                                    min_size=(40, 40))
+
+
+def detect_eyes_batch(grays) -> List[List[Tuple[int, int, int, int]]]:
+    """Multi-image eye detection in one cascade pass (FaceEnhancement
+    batch serving)."""
+    return detect_multi_scale_batch(grays, "haarcascade_eye.xml",
+                                    scale_factor=1.1, min_neighbors=5,
+                                    min_size=(30, 30))
