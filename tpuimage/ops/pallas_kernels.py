@@ -256,7 +256,7 @@ _HOUGH_ROWS = 64     # rows per in-kernel chunk (chunk = ROWS * BANDS edges)
 def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
                        mxu_dtype, acc_dtype, rows: int = _HOUGH_ROWS,
                        swap_mn: bool = False, lo_bins: int = _HOUGH_LO,
-                       n_chunks: int = 1):
+                       n_chunks: int = 1, pipelined: bool = False):
     """votes[theta] = sum_e onehot_hi(r_e)^T @ onehot_lo(r_e) for one theta.
 
     Performance notes (measured on the axon chip, 8x 849x1200 pages):
@@ -277,27 +277,27 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
       and measured FASTER than s8/s32 on v5e Mosaic (7.4 vs 10.7 ms at
       batch 8 — the s8 dot does not hit the chip's 2x int8 rate), so bf16
       is the default; the int8 path is kept selectable (mxu_dtype).
-    - The chunk loop is SOFTWARE-PIPELINED: the loop carry holds the
-      current chunk's one-hot pair while the body builds the NEXT chunk's
-      (VPU) alongside the current dot (MXU) — the two are independent, so
-      Mosaic can overlap them (round-2 VERDICT lever 1a; the serial body
-      left the MXU idle during the ~102-row iota compares and vice versa).
     - No range test on r: out-of-range and poisoned slots produce hi < 0
       or hi >= n_hi, which match NO row of the hi one-hot, so the edge
       contributes nothing — exactly what the old ``where(ok, r,
       invalid_bin)`` + spare-row arrangement achieved, minus two compares
       and a select per element. (lo = r & 63 of a negative r is still in
       [0, 64), but a lo-only match multiplies a zero hi column.)
+    - Software-pipelining the chunk loop by CARRYING the next chunk's
+      one-hot pair through fori_loop (build c+1 beside the dot of c) was
+      measured 2.3x SLOWER (19.0 vs 8.1 ms at batch 8): Mosaic
+      materializes the 1.6 MB carried pair to VMEM scratch and copies it
+      every iteration, which costs more than the overlap recovers. The
+      serial body lets the one-hots stream from vregs into the MXU.
+      Selectable via pipelined=True for re-measurement.
     """
     chunk = rows * _HOUGH_BANDS
     shift = lo_bins.bit_length() - 1 if lo_bins & (lo_bins - 1) == 0 else None
 
     acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
 
-    def accumulate_theta(ct, st, nt_ref, xs_ref, ys_ref, acc_ref):
-        acc_ref[:] = jnp.zeros(acc_shape, acc_dtype)
-
-        def build(c):
+    def make_accumulate_theta(pipelined: bool):
+        def build(c, ct, st, xs_ref, ys_ref):
             # x/y arrive precomputed (poisoned for invalid slots — see
             # hough_votes_pallas docstring): 2 FMAs + round per edge, then
             # the two iota compares (the dominant VPU cost)
@@ -317,19 +317,36 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
                       ).astype(mxu_dtype)
             return ohT_hi, ohT_lo
 
-        def body(c, carry):
-            ohT_hi, ohT_lo = carry
-            # prefetch: build chunk c+1's one-hots (VPU) while the MXU
-            # consumes chunk c's dot; the clamp keeps the trailing
-            # (wasted, poison-fed) build in bounds
-            nxt = build(jnp.minimum(c + 1, n_chunks - 1))
+        def dot_acc(acc_ref, ohT_hi, ohT_lo):
             a, b = (ohT_lo, ohT_hi) if swap_mn else (ohT_hi, ohT_lo)
             acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
                 a, b, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=acc_dtype)
-            return nxt
 
-        jax.lax.fori_loop(0, nt_ref[0, 0], body, build(0))
+        def accumulate_serial(ct, st, nt_ref, xs_ref, ys_ref, acc_ref):
+            acc_ref[:] = jnp.zeros(acc_shape, acc_dtype)
+
+            def body(c, _):
+                dot_acc(acc_ref, *build(c, ct, st, xs_ref, ys_ref))
+                return 0
+
+            jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
+
+        def accumulate_pipelined(ct, st, nt_ref, xs_ref, ys_ref, acc_ref):
+            acc_ref[:] = jnp.zeros(acc_shape, acc_dtype)
+
+            def body(c, carry):
+                nxt = build(jnp.minimum(c + 1, n_chunks - 1), ct, st,
+                            xs_ref, ys_ref)
+                dot_acc(acc_ref, *carry)
+                return nxt
+
+            jax.lax.fori_loop(0, nt_ref[0, 0], body,
+                              build(0, ct, st, xs_ref, ys_ref))
+
+        return accumulate_pipelined if pipelined else accumulate_serial
+
+    accumulate_theta = make_accumulate_theta(pipelined)
 
     def kernel(nt_ref, ct_ref, st_ref, xs_ref, ys_ref, out_ref, acc_ref):
         t = pl.program_id(0)
@@ -376,7 +393,7 @@ _THETA_INNER_MAX_KB = 128
                                              "interpret", "rho_base",
                                              "rho_bins", "mxu", "rows",
                                              "swap_mn", "lo_bins",
-                                             "theta_inner"))
+                                             "theta_inner", "pipelined"))
 def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        counts: jnp.ndarray, numrho: int,
                        theta_bins: int = 180,
@@ -385,7 +402,8 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        rows: int = _HOUGH_ROWS,
                        swap_mn: bool = False,
                        lo_bins: int = _HOUGH_LO,
-                       theta_inner: str = "auto") -> jnp.ndarray:
+                       theta_inner: str = "auto",
+                       pipelined: bool = False) -> jnp.ndarray:
     """(numrho, theta_bins) int32 vote accumulator over a band-compacted
     edge list — the Pallas production path of ops.hough.hough_accumulator
     (identical counts: same f32 round, same one-hot matmul contraction).
@@ -431,7 +449,8 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     kernel, kernel_inner = _make_hough_kernel(r_shift, n_hi, rho_bins,
                                               mxu_dtype, acc_dtype, rows,
                                               swap_mn, lo_bins,
-                                              n_chunks=kb // rows)
+                                              n_chunks=kb // rows,
+                                              pipelined=pipelined)
     acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
     if theta_inner == "auto":
         theta_inner = "inner" if kb <= _THETA_INNER_MAX_KB else "grid"
