@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-what = set(sys.argv[1:]) or {"bilateral", "hough"}
+what = set(sys.argv[1:]) or {"bilateral", "hough", "lab", "clahe"}
 
 
 def timeit(fn, n=5):
@@ -59,6 +59,36 @@ def main():
         tx = timeit(lambda: np.asarray(f_x(e))[0, 0])
         tp = timeit(lambda: np.asarray(f_p(e))[0, 0])
         print(f"hough xla {tx*1e3:.2f} ms  pallas(int8+clip) {tp*1e3:.2f} ms")
+
+    if "lab" in what:
+        from tpuimage.ops import color as colorops
+        img = rng.integers(0, 256, (853, 1280, 3), np.uint8)
+        x = jnp.asarray(img)
+        f_x = jax.jit(lambda a: colorops.rgb_to_lab(a, impl="xla"))
+        f_p = jax.jit(lambda a: colorops.rgb_to_lab(a, impl="pallas"))
+        a = np.asarray(f_x(x))
+        print("lab xla ok")
+        b = np.asarray(f_p(x))
+        print("lab pallas ok, equal:", np.array_equal(a, b))
+        tx = timeit(lambda: np.asarray(f_x(x))[0, 0, 0])
+        tp = timeit(lambda: np.asarray(f_p(x))[0, 0, 0])
+        print(f"lab xla {tx*1e3:.2f} ms  pallas {tp*1e3:.2f} ms")
+
+    if "clahe" in what:
+        from tpuimage.ops.histogram import clahe
+        img = rng.integers(0, 256, (853, 1280), np.uint8)
+        x = jnp.asarray(img)
+        f_m = jax.jit(lambda a: clahe(a, 2.0, 8, 8, impl="mxu"))
+        f_p = jax.jit(lambda a: clahe(a, 2.0, 8, 8, impl="pallas"))
+        a = np.asarray(f_m(x))
+        print("clahe mxu ok")
+        b = np.asarray(f_p(x))
+        d = np.abs(a.astype(int) - b.astype(int))
+        print("clahe pallas ok, maxdiff", d.max(), "fracdiff",
+              float((d > 0).mean()))
+        tm = timeit(lambda: np.asarray(f_m(x))[0, 0])
+        tp = timeit(lambda: np.asarray(f_p(x))[0, 0])
+        print(f"clahe mxu {tm*1e3:.2f} ms  pallas {tp*1e3:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -46,3 +46,77 @@ class TestPallasGaussian:
                                         impl="xla"))
         np.testing.assert_array_equal(a, ref)
         np.testing.assert_array_equal(a, b)
+
+
+class TestPallasLab:
+    @pytest.mark.parametrize("shape", [(211, 173, 3), (64, 128, 3),
+                                       (97, 301, 3)])
+    def test_bit_exact_vs_xla_path(self, rng, shape):
+        """Kernel output is bit-identical to the ops.color one-hot/gather
+        path (which carries the repo's cv2 LAB parity contract)."""
+        from tpuimage.ops import color as colorops
+        from tpuimage.ops.pallas_kernels import rgb_to_lab_pallas
+        img = rng.integers(0, 256, shape, np.uint8)
+        a = np.asarray(rgb_to_lab_pallas(jnp.asarray(img), interpret=True))
+        b = np.asarray(colorops.rgb_to_lab(jnp.asarray(img), impl="xla"))
+        np.testing.assert_array_equal(a, b)
+
+    def test_vs_cv2_and_vmap(self, rng):
+        from tpuimage.ops.pallas_kernels import rgb_to_lab_pallas
+        import jax
+        img = rng.integers(0, 256, (120, 160, 3), np.uint8)
+        ref = cv2.cvtColor(img, cv2.COLOR_RGB2Lab)
+        a = np.asarray(rgb_to_lab_pallas(jnp.asarray(img), interpret=True))
+        # same +-1 LSB contract as the XLA path (fixed-point boundary)
+        d = np.abs(ref.astype(int) - a.astype(int))
+        assert d.max() <= 1 and (d != 0).mean() < 1e-3
+        batch = np.stack([img, img[::-1].copy()])
+        vb = np.asarray(jax.vmap(lambda im: rgb_to_lab_pallas(
+            im, interpret=True))(jnp.asarray(batch)))
+        np.testing.assert_array_equal(vb[0], a)
+
+
+class TestPallasClaheApply:
+    @pytest.mark.parametrize("shape,grid,clip", [
+        ((211, 173), (8, 8), 2.0),   # odd sizes, the night config
+        ((200, 320), (4, 2), 4.0),   # non-square tile grid
+    ])
+    def test_bit_exact_vs_matrix_path(self, rng, shape, grid, clip):
+        from tpuimage.core.dtypes import f32
+        from tpuimage.core.borders import pad2d, BORDER_REFLECT_101
+        from tpuimage.ops.histogram import (_clahe_tile_luts,
+                                            clahe_blend_matrix,
+                                            clahe_apply_matrix, clahe)
+        from tpuimage.ops.pallas_kernels import clahe_apply_pallas
+        tx_n, ty_n = grid
+        gray = rng.integers(0, 256, shape, np.uint8)
+        h, w = shape
+        ph = (ty_n - h % ty_n) % ty_n and ty_n - (h % ty_n)
+        pw = (tx_n - w % tx_n) % tx_n and tx_n - (w % tx_n)
+        if h % ty_n or w % tx_n:
+            ph, pw = ty_n - (h % ty_n), tx_n - (w % tx_n)
+        else:
+            ph = pw = 0
+        th, tw = (h + ph) // ty_n, (w + pw) // tx_n
+        src = pad2d(jnp.asarray(gray), 0, ph, 0, pw,
+                    mode=BORDER_REFLECT_101) if (ph or pw) else jnp.asarray(gray)
+        tiles = (src.reshape(ty_n, th, tx_n, tw).transpose(0, 2, 1, 3)
+                 .reshape(ty_n * tx_n, th * tw))
+        luts = f32(_clahe_tile_luts(tiles, clip, th * tw, impl="scatter")
+                   .reshape(ty_n, tx_n, 256))
+        R = jnp.asarray(clahe_blend_matrix(h, th, ty_n))
+        C = jnp.asarray(clahe_blend_matrix(w, tw, tx_n).T)
+        mat = np.asarray(clahe_apply_matrix(jnp.asarray(gray), luts, R, C))
+        pal = np.asarray(clahe_apply_pallas(jnp.asarray(gray), luts, R, C,
+                                            interpret=True))
+        # same ±1 LSB cvRound-boundary contract as gather vs matrix: the
+        # kernel's sublane reduce can land on the other side of x.5 on
+        # isolated pixels (measured 1/64000 on random data)
+        dm = np.abs(pal.astype(int) - mat.astype(int))
+        assert dm.max() <= 1 and (dm != 0).mean() < 1e-3
+        # end-to-end forced pallas clahe vs cv2 (the library contract)
+        ref = cv2.createCLAHE(clip, (tx_n, ty_n)).apply(gray)
+        out = np.asarray(clahe(jnp.asarray(gray), clip, tx_n, ty_n,
+                               impl="pallas"))
+        d = np.abs(out.astype(int) - ref.astype(int))
+        assert d.max() <= 1 and (d != 0).mean() < 5e-3

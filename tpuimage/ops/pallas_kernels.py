@@ -510,6 +510,225 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     return v.T
 
 
+# ---------------------------------------------------------------------------
+# RGB -> Lab (8-bit fixed-point) — fused LUT kernel
+# ---------------------------------------------------------------------------
+
+_LAB_ROWS = 64  # pixel rows per grid step (chunk = rows * 128 pixels)
+
+
+def _make_lab_kernel(rows: int, coeffs, l_scale: int, l_shift: int):
+    """One grid step converts rows*128 pixels: two table lookups per value
+    (sRGB gamma 256-entry, Lab cube-root 3072-entry) as hi/lo one-hot MXU
+    dots that live entirely in VMEM.
+
+    Why a kernel: the XLA one-hot formulation of the same lookups
+    (ops.lut.lut_lookup) materializes the (pixels, bins) indicators to HBM
+    for the 3072-entry cbrt table (fusion breaks on the 48-column matmul)
+    — measured 17.1 ms for a batch-8 nightview rgb_to_lab, ~4x the MAC
+    arithmetic. Here the one-hots are built lane-major in vregs and die
+    inside the chunk (same lesson as the Hough vote kernel above): HBM
+    traffic is 3 i32 planes in, 3 i32 planes out.
+
+    Exactness: table values are byte-split (gamma = 32*hi + lo with
+    hi <= 63, lo <= 31; cbrt = 128*hi + lo with hi <= 256, lo <= 127) so
+    every matmul operand is a small integer exactly representable in bf16;
+    f32 accumulation of 0/1-selected small ints is exact. Results are
+    bit-identical to ops.color.rgb_to_lab's gather path (asserted by
+    tests/test_pallas.py on real images).
+    """
+    chunk = rows * 128
+    C = [[int(coeffs[r][c]) for c in range(3)] for r in range(3)]
+
+    def lut(a_hi, a_lo, idx, n_hi, mul_hi):
+        """table[idx] for idx (1, chunk) i32 in [0, 64*n_hi): hi/lo one-hot
+        dots against the byte-split (64, n_hi) bf16 table transposes."""
+        hi = jax.lax.shift_right_logical(idx, 6)
+        lo = jax.lax.bitwise_and(idx, 63)
+        ohT = (hi == jax.lax.broadcasted_iota(jnp.int32, (n_hi, chunk), 0)
+               ).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        rh = jax.lax.dot_general(a_hi, ohT, dimension_numbers=dn,
+                                 preferred_element_type=jnp.float32)
+        rl = jax.lax.dot_general(a_lo, ohT, dimension_numbers=dn,
+                                 preferred_element_type=jnp.float32)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (64, chunk), 0) == lo)
+        return jnp.sum(jnp.where(sel, rh * mul_hi + rl, 0.0), axis=0,
+                       keepdims=True).astype(jnp.int32)
+
+    def descale_i(x, n):
+        return jax.lax.shift_right_arithmetic(x + (1 << (n - 1)), n)
+
+    def kernel(agh_ref, agl_ref, ach_ref, acl_ref, r_ref, g_ref, b_ref,
+               l_ref, a_ref, b2_ref):
+        agh, agl = agh_ref[:], agl_ref[:]
+        ach, acl = ach_ref[:], acl_ref[:]
+        r = lut(agh, agl, r_ref[:].reshape(1, chunk), 4, 32.0)
+        g = lut(agh, agl, g_ref[:].reshape(1, chunk), 4, 32.0)
+        b = lut(agh, agl, b_ref[:].reshape(1, chunk), 4, 32.0)
+
+        def fchan(row):
+            idx = descale_i(r * C[row][0] + g * C[row][1] + b * C[row][2], 12)
+            return lut(ach, acl, jnp.clip(idx, 0, 3071), 48, 128.0)
+
+        fx, fy, fz = fchan(0), fchan(1), fchan(2)
+        shift2 = 15  # _LAB_SHIFT2
+        l_val = descale_i(l_scale * fy + l_shift, shift2)
+        a_val = descale_i(500 * (fx - fy) + (128 << shift2), shift2)
+        b_val = descale_i(200 * (fy - fz) + (128 << shift2), shift2)
+        l_ref[:] = jnp.clip(l_val, 0, 255).reshape(rows, 128)
+        a_ref[:] = jnp.clip(a_val, 0, 255).reshape(rows, 128)
+        b2_ref[:] = jnp.clip(b_val, 0, 255).reshape(rows, 128)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rows"))
+def rgb_to_lab_pallas(img: jnp.ndarray, interpret: bool = False,
+                      rows: int = _LAB_ROWS) -> jnp.ndarray:
+    """ops.color.rgb_to_lab (OpenCV 8-bit fixed-point Lab) as a fused
+    Pallas kernel — the TPU production path for LAB-heavy pipelines (the
+    night pipeline's wall: 17.1 -> ~2 ms at batch 8, see _make_lab_kernel).
+
+    img: uint8 (H, W, 3) RGB. Returns uint8 (H, W, 3) Lab, bit-identical
+    to the gather/one-hot paths."""
+    from tpuimage.ops import color as colorops
+
+    h, w = int(img.shape[0]), int(img.shape[1])
+    n = h * w
+    rows_total = _round_up(-(-n // 128), rows)
+    pad = rows_total * 128 - n
+
+    def plane(c):
+        v = img[..., c].reshape(-1).astype(jnp.int32)
+        return jnp.pad(v, (0, pad)).reshape(rows_total, 128)
+
+    gt = np.asarray(colorops._GAMMA_TAB_NP, np.int64)       # (256,) <= 2040
+    ct = np.asarray(colorops._CBRT_TAB_NP, np.int64)        # (3072,) <= 32768
+    g2 = gt.reshape(4, 64).T                                # (64, 4)
+    c2 = ct.reshape(48, 64).T                               # (64, 48)
+    agh = jnp.asarray(g2 >> 5, jnp.bfloat16)
+    agl = jnp.asarray(g2 & 31, jnp.bfloat16)
+    ach = jnp.asarray(c2 >> 7, jnp.bfloat16)
+    acl = jnp.asarray(c2 & 127, jnp.bfloat16)
+
+    l_scale = (116 * 255 + 50) // 100
+    l_shift = -((16 * 255 * (1 << 15) + 50) // 100)
+    kernel = _make_lab_kernel(rows, colorops._LAB_COEFFS, l_scale,
+                              l_shift)
+
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    band = lambda t: (t, 0)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rows_total // rows,),
+        out_shape=tuple(jax.ShapeDtypeStruct((rows_total, 128), jnp.int32)
+                        for _ in range(3)),
+        in_specs=[tab_spec] * 4 + [
+            pl.BlockSpec((rows, 128), band, memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=tuple(pl.BlockSpec((rows, 128), band,
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(3)),
+        interpret=interpret,
+    )(agh, agl, ach, acl, plane(0), plane(1), plane(2))
+    lab = jnp.stack([o.reshape(-1)[:n].reshape(h, w) for o in outs], axis=-1)
+    return lab.astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# CLAHE apply (per-pixel 4-tile-LUT bilinear blend) — fused LUT kernel
+# ---------------------------------------------------------------------------
+
+_CLAHE_ROWS = 128
+
+
+def _make_clahe_apply_kernel(rows: int, ty: int, tx: int):
+    """One grid step blends rows*128 pixels: the 256-entry one-hot selects
+    each pixel's value row from ALL ty*tx tile LUTs in one MXU dot (LUT
+    values are u8 — bf16-exact, f32 accumulation), then the static bilinear
+    tile weights contract t-then-u in the same nesting as
+    ops.histogram.clahe_apply_matrix.
+
+    Why a kernel: the XLA form materializes the (pixels, 256) bf16 one-hot
+    and the (pixels, ty*tx) f32 W to HBM (~7 GB for a batch-8 nightview —
+    measured 10.6 ms); here both die in VMEM.
+
+    W rows are ordered u*ty + t so each fixed-u slice is a contiguous
+    sublane block (the t-contraction is a sublane reduce; no strided row
+    extracts)."""
+    chunk = rows * 128
+    nt = ty * tx
+
+    def kernel(lut_ref, rt_ref, c_ref, v_ref, out_ref):
+        v = v_ref[:].reshape(1, chunk)
+        ohT = (v == jax.lax.broadcasted_iota(jnp.int32, (256, chunk), 0)
+               ).astype(jnp.bfloat16)
+        W = jax.lax.dot_general(lut_ref[:], ohT,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        rl = jnp.broadcast_to(rt_ref[:][:, :, None], (ty, rows, 128)
+                              ).reshape(ty, chunk)
+        cl = jnp.broadcast_to(c_ref[:][:, None, :], (tx, rows, 128)
+                              ).reshape(tx, chunk)
+        res = jnp.zeros((1, chunk), jnp.float32)
+        for u in range(tx):
+            tmp = jnp.sum(W[u * ty:(u + 1) * ty, :] * rl, axis=0,
+                          keepdims=True)
+            res = res + tmp * cl[u:u + 1, :]
+        out_ref[:] = jnp.clip(jnp.rint(res), 0, 255
+                              ).astype(jnp.int32).reshape(rows, 128)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rows"))
+def clahe_apply_pallas(gray: jnp.ndarray, luts: jnp.ndarray,
+                       R: jnp.ndarray, C: jnp.ndarray,
+                       interpret: bool = False,
+                       rows: int = _CLAHE_ROWS) -> jnp.ndarray:
+    """ops.histogram.clahe_apply_matrix as a fused Pallas kernel.
+
+    gray: uint8 (H, W); luts: (ty, tx, 256) tile LUTs (u8-valued);
+    R: (H, ty) row blend matrix; C: (tx, W) column blend matrix
+    (clahe_blend_matrix). Returns uint8 (H, W). Same t-then-u contraction
+    nesting as the matrix path, but the t-reduce is a sublane tree — on
+    isolated cvRound-boundary pixels (measured 1/64000 random) it lands on
+    the other side of x.5 vs clahe_apply_matrix; both stay within the
+    documented ±1 LSB contract vs cv2."""
+    h, w = int(gray.shape[0]), int(gray.shape[1])
+    ty, tx = int(luts.shape[0]), int(luts.shape[1])
+    hp = _round_up(h, rows)
+    wp = _round_up(w, 128)
+
+    v = jnp.pad(gray.astype(jnp.int32), ((0, hp - h), (0, wp - w)))
+    # W rows ordered u*ty + t (see kernel docstring)
+    lut_ut = (luts.astype(jnp.bfloat16).reshape(ty, tx, 256)
+              .transpose(1, 0, 2).reshape(ty * tx, 256))
+    rt = jnp.pad(R.astype(jnp.float32).T, ((0, 0), (0, hp - h)))   # (ty, hp)
+    cf = jnp.pad(C.astype(jnp.float32), ((0, 0), (0, wp - w)))     # (tx, wp)
+
+    kernel = _make_clahe_apply_kernel(rows, ty, tx)
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp // rows, wp // 128),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # LUTs
+            pl.BlockSpec((ty, rows), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, 128), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lut_ut, rt, cf, v)
+    return out[:h, :w].astype(jnp.uint8)
+
+
 def bilateral_pallas_applicable(img, d: int = 9,
                                 sigma_space: float = 75.0) -> bool:
     """True when the row-band kernel handles this input on hardware:

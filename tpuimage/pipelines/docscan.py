@@ -121,6 +121,12 @@ def _localize_device(rgb: jnp.ndarray, canny_low: int, canny_high: int):
     return edges, segs, ok
 
 
+@functools.partial(jax.jit, static_argnames=("canny_low", "canny_high"))
+def _localize_device_batch(rgbs: jnp.ndarray, canny_low: int, canny_high: int):
+    """vmapped _localize_device over a same-shape stack (one dispatch)."""
+    return jax.vmap(lambda im: _localize_device(im, canny_low, canny_high))(rgbs)
+
+
 def order_quad_points(pts: np.ndarray) -> np.ndarray:
     """DocScanner.py:48-57: TL/TR/BR/BL by coordinate sum/difference."""
     pts = np.asarray(pts, dtype=np.float32).reshape(4, 2)
@@ -147,6 +153,43 @@ def _largest_quadrilateral(contour_list) -> Optional[np.ndarray]:
             if area > max_area:
                 max_area, best = area, approx
     return None if best is None else np.asarray(best, dtype=np.float32).reshape(4, 2)
+
+
+def _quad_from_localize(edges: np.ndarray, segs: np.ndarray, ok: np.ndarray,
+                        shape, config: DocScanConfig) -> Optional[np.ndarray]:
+    """Host half of localize_document: draw segments over the edge map,
+    trace contours, pick the largest quadrilateral (DocScanner.py:84-109)."""
+    segs = segs[ok]
+    line_img = draw_segments(edges.shape, segs, thickness=2)
+    combined = edges | line_img
+
+    contour_list = cnt.find_external_contours(combined)
+    img_area = shape[0] * shape[1]
+    filtered = [c for c in contour_list
+                if config.min_area_ratio <= cnt.contour_area(c) / max(img_area, 1)
+                <= config.max_area_ratio]
+    quad = _largest_quadrilateral(filtered if filtered else contour_list)
+    if quad is None:
+        if not contour_list:
+            return None
+        c = max(contour_list, key=cnt.contour_area)
+        quad = cnt.box_points(cnt.min_area_rect(c))
+    return order_quad_points(quad)
+
+
+def localize_batch(rgbs: np.ndarray, config: DocScanConfig) -> list:
+    """Batched localize for SAME-SHAPE raw images (the serving path): ONE
+    vmapped device dispatch for Canny + Hough segments over the whole
+    stack, then the per-image host contour walk. Replaces N sequential
+    ~RTT-bound dispatches in scan_batch with one (the tunnel round-trip
+    dominated e2e latency, not compute)."""
+    edges_d, segs_d, ok_d = _localize_device_batch(
+        jnp.asarray(rgbs), config.canny_low, config.canny_high)
+    edges_b, segs_b, ok_b = (np.asarray(edges_d), np.asarray(segs_d),
+                             np.asarray(ok_d))
+    return [_quad_from_localize(edges_b[i], segs_b[i], ok_b[i],
+                                rgbs[i].shape, config)
+            for i in range(len(rgbs))]
 
 
 def localize_document(rgb: np.ndarray, config: DocScanConfig) -> Optional[np.ndarray]:
@@ -461,29 +504,72 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
     This is the scale-out replacement for calling process_document in a
     loop: one jit dispatch amortizes the whole batch (SURVEY.md §2.3 DP).
     """
-    metas = []
-    pages = []
-    for item in inputs:
+    # --- load + localize (same-shape raw images share ONE device dispatch) ---
+    rgbs = []
+    metas = [None] * len(inputs)
+    for i, item in enumerate(inputs):
         try:
-            rgb = load_image_rgb(item) if isinstance(item, (str, os.PathLike)) \
-                else np.asarray(item)
-            quad = localize_document(rgb, config)
+            rgbs.append(load_image_rgb(item)
+                        if isinstance(item, (str, os.PathLike))
+                        else np.asarray(item))
+        except Exception as e:
+            metas[i] = {"error": str(e)}
+            rgbs.append(None)
+    quads = [None] * len(inputs)
+    by_shape: Dict[tuple, list] = {}
+    for i, rgb in enumerate(rgbs):
+        if rgb is not None:
+            by_shape.setdefault(rgb.shape, []).append(i)
+    for shape, idxs in by_shape.items():
+        try:
+            if len(idxs) > 1:
+                found = localize_batch(np.stack([rgbs[i] for i in idxs]), config)
+                for i, q in zip(idxs, found):
+                    quads[i] = q
+            else:
+                quads[idxs[0]] = localize_document(rgbs[idxs[0]], config)
+        except Exception as e:
+            for i in idxs:
+                metas[i] = {"error": str(e)}
+                rgbs[i] = None
+
+    # --- warp (quad pages grouped by (input shape, target shape): one
+    # batched dispatch per group; use-whole fallbacks stay per-image) ---
+    pages: list = [None] * len(inputs)
+    warp_groups: Dict[tuple, list] = {}
+    for i, rgb in enumerate(rgbs):
+        if rgb is None:
+            continue
+        try:
+            quad = quads[i]
             use_whole = quad is None
             if quad is not None:
                 ratio = cnt.contour_area(quad) / max(rgb.shape[0] * rgb.shape[1], 1)
                 if ratio < config.min_quad_area_ratio:
                     use_whole = True
+            metas[i] = {"quad": quad, "use_whole": use_whole}
             if not use_whole and quad is not None:
-                warped = np.asarray(perspective_warp(rgb, quad, page=config.page,
-                                                     scale_long=config.scale_long))
+                th, tw = _warp_target_size(quad, config.page, config.scale_long)
+                warp_groups.setdefault((rgb.shape, th, tw), []).append(i)
             else:
-                warped = np.asarray(geometry.resize_long_side(
+                pages[i] = np.asarray(geometry.resize_long_side(
                     jnp.asarray(rgb), config.scale_long, interpolation="area"))
-            metas.append({"quad": quad, "use_whole": use_whole})
-            pages.append(warped)
         except Exception as e:
-            metas.append({"error": str(e)})
-            pages.append(None)
+            metas[i] = {"error": str(e)}
+    for (shape, th, tw), idxs in warp_groups.items():
+        try:
+            dst = np.array([[0, 0], [tw - 1, 0], [tw - 1, th - 1],
+                            [0, th - 1]], dtype=np.float32)
+            minvs = np.stack([np.linalg.inv(geometry.get_perspective_transform(
+                metas[i]["quad"].astype(np.float32), dst)) for i in idxs])
+            warped = np.asarray(geometry.warp_perspective_batch(
+                jnp.asarray(np.stack([rgbs[i] for i in idxs])),
+                jnp.asarray(minvs, jnp.float32), th, tw))
+            for j, i in enumerate(idxs):
+                pages[i] = warped[j]
+        except Exception as e:
+            for i in idxs:
+                metas[i] = {"error": str(e)}
 
     shapes = {p.shape for p in pages if p is not None}
     results = []
