@@ -140,22 +140,28 @@ def main():
     rows_all = 64
     rt_for = lambda rows: ((-(-n // 128)) + rows - 1) // rows * rows
 
+    plane_cache = {}
+
     def planes(rows_total):
-        pad = rows_total * 128 - n
-        f = jax.jit(lambda b: tuple(
-            jnp.pad(b.reshape(B * h, w, 3)[..., c].reshape(-1)
-                    .astype(jnp.int32), (0, pad)).reshape(rows_total, 128)
-            for c in range(3)))
-        return tuple(jnp.asarray(np.asarray(p)) for p in f(batch))
+        if rows_total not in plane_cache:
+            pad = rows_total * 128 - n
+            f = jax.jit(lambda b: tuple(
+                jnp.pad(b.reshape(B * h, w, 3)[..., c].reshape(-1)
+                        .astype(jnp.int32), (0, pad)).reshape(rows_total, 128)
+                for c in range(3)))
+            plane_cache[rows_total] = tuple(
+                jnp.asarray(np.asarray(p)) for p in f(batch))
+        return plane_cache[rows_total]
 
     # reference output (XLA path)
     ref = np.asarray(jax.jit(lambda b: jax.vmap(
         lambda im_: colorops.rgb_to_lab(im_, impl="xla"))(b))(batch))
 
-    int(np.asarray(triv(planes(rt_for(64))[0])))
+    p0 = planes(rt_for(64))[0]
+    int(np.asarray(triv(p0)))
     t0 = time.perf_counter()
     for _ in range(5):
-        int(np.asarray(triv(planes(rt_for(64))[0])))
+        int(np.asarray(triv(p0)))
     rtt = (time.perf_counter() - t0) / 5
     print(f"rtt {rtt*1e3:.2f} ms  {mp:.2f} MP/dispatch")
 

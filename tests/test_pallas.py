@@ -108,10 +108,11 @@ class TestPallasClaheApply:
         C = jnp.asarray(clahe_blend_matrix(w, tw, tx_n).T)
         mat = np.asarray(clahe_apply_matrix(jnp.asarray(gray), luts, R, C))
         pal = np.asarray(clahe_apply_pallas(jnp.asarray(gray), luts, R, C,
-                                            interpret=True))
-        # same ±1 LSB cvRound-boundary contract as gather vs matrix: the
-        # kernel's sublane reduce can land on the other side of x.5 on
-        # isolated pixels (measured 1/64000 on random data)
+                                            th=th, tw=tw, interpret=True))
+        # the slab kernel computes the same <= 2x2 nonzero blend terms in
+        # the same nesting, but FMA contraction (uncontrollable, see
+        # CLAUDE.md) can land isolated cvRound-boundary pixels on the
+        # other side of x.5 (measured 2/36503); ±1 LSB contract holds
         dm = np.abs(pal.astype(int) - mat.astype(int))
         assert dm.max() <= 1 and (dm != 0).mean() < 1e-3
         # end-to-end forced pallas clahe vs cv2 (the library contract)

@@ -227,7 +227,7 @@ def clahe(gray: jnp.ndarray, clip_limit: float = 40.0,
         # the ±1 LSB cvRound contract vs the matrix path and cv2
         # (tests/test_pallas.py)
         from tpuimage.ops.pallas_kernels import clahe_apply_pallas
-        return clahe_apply_pallas(gray, luts, R, C,
+        return clahe_apply_pallas(gray, luts, R, C, th=th, tw=tw,
                                   interpret=jax.default_backend() == "cpu")
     return clahe_apply_matrix(gray, luts, R, C)
 

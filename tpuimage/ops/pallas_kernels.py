@@ -514,64 +514,79 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
 # RGB -> Lab (8-bit fixed-point) — fused LUT kernel
 # ---------------------------------------------------------------------------
 
-_LAB_ROWS = 64  # pixel rows per grid step (chunk = rows * 128 pixels)
+_LAB_ROWS = 64   # pixel rows per grid step (chunk = rows * 128 pixels)
+_LAB_GLO = 16    # gamma-table index radix: 16 lo rows x 16 hi cols
+_LAB_CLO = 16    # cbrt-table index radix: 16 lo rows x 192 hi cols
 
 
 def _make_lab_kernel(rows: int, coeffs, l_scale: int, l_shift: int):
     """One grid step converts rows*128 pixels: two table lookups per value
-    (sRGB gamma 256-entry, Lab cube-root 3072-entry) as hi/lo one-hot MXU
-    dots that live entirely in VMEM.
+    (sRGB gamma 256-entry, Lab cube-root 3072-entry) as one-hot MXU dots
+    that live entirely in VMEM.
 
     Why a kernel: the XLA one-hot formulation of the same lookups
     (ops.lut.lut_lookup) materializes the (pixels, bins) indicators to HBM
-    for the 3072-entry cbrt table (fusion breaks on the 48-column matmul)
-    — measured 17.1 ms for a batch-8 nightview rgb_to_lab, ~4x the MAC
-    arithmetic. Here the one-hots are built lane-major in vregs and die
-    inside the chunk (same lesson as the Hough vote kernel above): HBM
-    traffic is 3 i32 planes in, 3 i32 planes out.
+    for the 3072-entry cbrt table (fusion breaks on the skinny matmul) —
+    measured 17.1 ms for a batch-8 nightview rgb_to_lab. Here the one-hots
+    are built lane-major in vregs and die inside the chunk (same lesson as
+    the Hough vote kernel above): HBM traffic is 3 i32 planes in, 3 i32
+    planes out.
+
+    Formulation (measured over radix/packing variants,
+    benchmarks/micro_lab_kernel.py; 9.6 -> 3.7 ms for batch-8 nightview):
+    - value byte-split hi/lo tables are STACKED into one (2*lo_n, hi_n)
+      operand so each lookup is ONE dot, not two;
+    - the three channels of each lookup level are CONCATENATED along the
+      pixel axis so each table costs one dot per grid step (2 dots total);
+    - index radix puts only 16 rows in the lo dimension (idx & 15), making
+      the per-pixel lo-select a 16-row where/sum; the hi one-hot
+      (idx >> 4) carries the table width (16 gamma / 192 cbrt columns) on
+      the MXU where it is nearly free.
 
     Exactness: table values are byte-split (gamma = 32*hi + lo with
     hi <= 63, lo <= 31; cbrt = 128*hi + lo with hi <= 256, lo <= 127) so
     every matmul operand is a small integer exactly representable in bf16;
     f32 accumulation of 0/1-selected small ints is exact. Results are
     bit-identical to ops.color.rgb_to_lab's gather path (asserted by
-    tests/test_pallas.py on real images).
-    """
+    tests/test_pallas.py on real images and on hardware by
+    benchmarks/hw_check_kernels.py)."""
     chunk = rows * 128
     C = [[int(coeffs[r][c]) for c in range(3)] for r in range(3)]
+    glo, clo = _LAB_GLO, _LAB_CLO
+    glog, clog = glo.bit_length() - 1, clo.bit_length() - 1
 
-    def lut(a_hi, a_lo, idx, n_hi, mul_hi):
-        """table[idx] for idx (1, chunk) i32 in [0, 64*n_hi): hi/lo one-hot
-        dots against the byte-split (64, n_hi) bf16 table transposes."""
-        hi = jax.lax.shift_right_logical(idx, 6)
-        lo = jax.lax.bitwise_and(idx, 63)
-        ohT = (hi == jax.lax.broadcasted_iota(jnp.int32, (n_hi, chunk), 0)
+    def lut(a_st, idx, n_hi, lo_n, lo_log, mul_hi):
+        """table[idx] for idx (1, n) i32: hi one-hot dot against the
+        stacked byte-split (2*lo_n, n_hi) table, then a lo_n-row select."""
+        hi = jax.lax.shift_right_logical(idx, lo_log)
+        lo = jax.lax.bitwise_and(idx, lo_n - 1)
+        n = idx.shape[1]
+        ohT = (hi == jax.lax.broadcasted_iota(jnp.int32, (n_hi, n), 0)
                ).astype(jnp.bfloat16)
-        dn = (((1,), (0,)), ((), ()))
-        rh = jax.lax.dot_general(a_hi, ohT, dimension_numbers=dn,
-                                 preferred_element_type=jnp.float32)
-        rl = jax.lax.dot_general(a_lo, ohT, dimension_numbers=dn,
-                                 preferred_element_type=jnp.float32)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (64, chunk), 0) == lo)
-        return jnp.sum(jnp.where(sel, rh * mul_hi + rl, 0.0), axis=0,
+        r = jax.lax.dot_general(a_st, ohT,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (lo_n, n), 0) == lo)
+        v = r[:lo_n] * mul_hi + r[lo_n:]
+        return jnp.sum(jnp.where(sel, v, 0.0), axis=0,
                        keepdims=True).astype(jnp.int32)
 
     def descale_i(x, n):
         return jax.lax.shift_right_arithmetic(x + (1 << (n - 1)), n)
 
-    def kernel(agh_ref, agl_ref, ach_ref, acl_ref, r_ref, g_ref, b_ref,
-               l_ref, a_ref, b2_ref):
-        agh, agl = agh_ref[:], agl_ref[:]
-        ach, acl = ach_ref[:], acl_ref[:]
-        r = lut(agh, agl, r_ref[:].reshape(1, chunk), 4, 32.0)
-        g = lut(agh, agl, g_ref[:].reshape(1, chunk), 4, 32.0)
-        b = lut(agh, agl, b_ref[:].reshape(1, chunk), 4, 32.0)
-
-        def fchan(row):
-            idx = descale_i(r * C[row][0] + g * C[row][1] + b * C[row][2], 12)
-            return lut(ach, acl, jnp.clip(idx, 0, 3071), 48, 128.0)
-
-        fx, fy, fz = fchan(0), fchan(1), fchan(2)
+    def kernel(ag_ref, ac_ref, r_ref, g_ref, b_ref, l_ref, a_ref, b2_ref):
+        ag, ac = ag_ref[:], ac_ref[:]
+        rgb = jnp.concatenate([r_ref[:].reshape(1, chunk),
+                               g_ref[:].reshape(1, chunk),
+                               b_ref[:].reshape(1, chunk)], axis=1)
+        gv = lut(ag, rgb, 256 // glo, glo, glog, float(1 << 5))
+        r, g, b = (gv[:, :chunk], gv[:, chunk:2 * chunk], gv[:, 2 * chunk:])
+        ixs = [jnp.clip(descale_i(r * C[k][0] + g * C[k][1] + b * C[k][2],
+                                  12), 0, 3071) for k in range(3)]
+        fv = lut(ac, jnp.concatenate(ixs, axis=1), 3072 // clo, clo, clog,
+                 float(1 << 7))
+        fx, fy, fz = (fv[:, :chunk], fv[:, chunk:2 * chunk],
+                      fv[:, 2 * chunk:])
         shift2 = 15  # _LAB_SHIFT2
         l_val = descale_i(l_scale * fy + l_shift, shift2)
         a_val = descale_i(500 * (fx - fy) + (128 << shift2), shift2)
@@ -583,12 +598,22 @@ def _make_lab_kernel(rows: int, coeffs, l_scale: int, l_shift: int):
     return kernel
 
 
+def _lab_split_tab(tab_np, lo_n, vbits):
+    """Index-radix (lo_n rows) reshape + value byte-split at vbits, hi and
+    lo halves stacked into one (2*lo_n, N//lo_n) bf16 operand."""
+    n = len(tab_np)
+    t = np.asarray(tab_np, np.int64).reshape(n // lo_n, lo_n).T
+    return jnp.asarray(np.concatenate([t >> vbits, t & ((1 << vbits) - 1)],
+                                      axis=0), jnp.bfloat16)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "rows"))
 def rgb_to_lab_pallas(img: jnp.ndarray, interpret: bool = False,
                       rows: int = _LAB_ROWS) -> jnp.ndarray:
     """ops.color.rgb_to_lab (OpenCV 8-bit fixed-point Lab) as a fused
     Pallas kernel — the TPU production path for LAB-heavy pipelines (the
-    night pipeline's wall: 17.1 -> ~2 ms at batch 8, see _make_lab_kernel).
+    night pipeline's wall: 17.1 -> 3.7 ms at batch 8, see
+    _make_lab_kernel).
 
     img: uint8 (H, W, 3) RGB. Returns uint8 (H, W, 3) Lab, bit-identical
     to the gather/one-hot paths."""
@@ -603,14 +628,8 @@ def rgb_to_lab_pallas(img: jnp.ndarray, interpret: bool = False,
         v = img[..., c].reshape(-1).astype(jnp.int32)
         return jnp.pad(v, (0, pad)).reshape(rows_total, 128)
 
-    gt = np.asarray(colorops._GAMMA_TAB_NP, np.int64)       # (256,) <= 2040
-    ct = np.asarray(colorops._CBRT_TAB_NP, np.int64)        # (3072,) <= 32768
-    g2 = gt.reshape(4, 64).T                                # (64, 4)
-    c2 = ct.reshape(48, 64).T                               # (64, 48)
-    agh = jnp.asarray(g2 >> 5, jnp.bfloat16)
-    agl = jnp.asarray(g2 & 31, jnp.bfloat16)
-    ach = jnp.asarray(c2 >> 7, jnp.bfloat16)
-    acl = jnp.asarray(c2 & 127, jnp.bfloat16)
+    ag = _lab_split_tab(colorops._GAMMA_TAB_NP, _LAB_GLO, 5)  # <= 2040
+    ac = _lab_split_tab(colorops._CBRT_TAB_NP, _LAB_CLO, 7)   # <= 32768
 
     l_scale = (116 * 255 + 50) // 100
     l_shift = -((16 * 255 * (1 << 15) + 50) // 100)
@@ -624,14 +643,14 @@ def rgb_to_lab_pallas(img: jnp.ndarray, interpret: bool = False,
         grid=(rows_total // rows,),
         out_shape=tuple(jax.ShapeDtypeStruct((rows_total, 128), jnp.int32)
                         for _ in range(3)),
-        in_specs=[tab_spec] * 4 + [
+        in_specs=[tab_spec] * 2 + [
             pl.BlockSpec((rows, 128), band, memory_space=pltpu.VMEM)
         ] * 3,
         out_specs=tuple(pl.BlockSpec((rows, 128), band,
                                      memory_space=pltpu.VMEM)
                         for _ in range(3)),
         interpret=interpret,
-    )(agh, agl, ach, acl, plane(0), plane(1), plane(2))
+    )(ag, ac, plane(0), plane(1), plane(2))
     lab = jnp.stack([o.reshape(-1)[:n].reshape(h, w) for o in outs], axis=-1)
     return lab.astype(jnp.uint8)
 
@@ -640,84 +659,134 @@ def rgb_to_lab_pallas(img: jnp.ndarray, interpret: bool = False,
 # CLAHE apply (per-pixel 4-tile-LUT bilinear blend) — fused LUT kernel
 # ---------------------------------------------------------------------------
 
-_CLAHE_ROWS = 128
+_CLAHE_ROWS = 64
 
 
-def _make_clahe_apply_kernel(rows: int, ty: int, tx: int):
-    """One grid step blends rows*128 pixels: the 256-entry one-hot selects
-    each pixel's value row from ALL ty*tx tile LUTs in one MXU dot (LUT
-    values are u8 — bf16-exact, f32 accumulation), then the static bilinear
-    tile weights contract t-then-u in the same nesting as
+def _clahe_slab_starts(n_pix: int, tile: int, n_tiles: int, block: int):
+    """Static per-block tile-slab starts for the CLAHE apply kernel.
+
+    Each output pixel blends tiles {t1c(p), t2c(p)} (clahe_blend_matrix's
+    clipped floor(p/tile - 0.5) pair). For the block of pixels
+    [b*block, (b+1)*block) those indices span a contiguous run; return
+    (starts (n_blocks,), span) so slab [start, start+span) covers every
+    nonzero blend-matrix column of the block. All arguments are static —
+    this runs in numpy at trace time."""
+    n_blocks = -(-n_pix // block)
+    starts = np.zeros(n_blocks, np.int64)
+    span = 1
+    for b in range(n_blocks):
+        lo = b * block
+        hi = min((b + 1) * block, n_pix) - 1
+        pf_lo = np.float32(lo) * (np.float32(1.0) / np.float32(tile)) - np.float32(0.5)
+        pf_hi = np.float32(hi) * (np.float32(1.0) / np.float32(tile)) - np.float32(0.5)
+        tmin = int(np.clip(np.floor(pf_lo), 0, n_tiles - 1))
+        tmax = int(np.clip(np.floor(pf_hi) + 1, 0, n_tiles - 1))
+        starts[b] = tmin
+        span = max(span, tmax - tmin + 1)
+    starts = np.minimum(starts, n_tiles - span)
+    return starts, span
+
+
+def _make_clahe_slab_kernel(rows: int, ts_n: int, us_n: int):
+    """One grid step blends a (rows, 128) block against ONLY the tile slab
+    whose blend weights are nonzero there (<= (rows/th+2) x (128/tw+2)
+    tiles instead of all ty*tx): the 256-entry one-hot selects each
+    pixel's value row from the slab LUTs in one MXU dot (LUT values are
+    u8 — bf16-exact, f32 accumulation), then the per-block slices of the
+    static bilinear blend matrices contract t-then-u exactly like
     ops.histogram.clahe_apply_matrix.
 
-    Why a kernel: the XLA form materializes the (pixels, 256) bf16 one-hot
-    and the (pixels, ty*tx) f32 W to HBM (~7 GB for a batch-8 nightview —
-    measured 10.6 ms); here both die in VMEM.
+    Exactness vs the matrix path: each pixel has <= 2 nonzero blend
+    weights per axis and the slab contains every nonzero column, so the
+    restricted sum has the same nonzero terms in the same nesting; only
+    FMA contraction differences (uncontrollable, CLAUDE.md) move isolated
+    cvRound-boundary pixels ±1 LSB (measured 2/36503 on random data) —
+    within the documented CLAHE contract vs cv2.
 
-    W rows are ordered u*ty + t so each fixed-u slice is a contiguous
-    sublane block (the t-contraction is a sublane reduce; no strided row
-    extracts)."""
+    Why a kernel: the XLA form materializes the (pixels, 256) bf16
+    one-hot and the (pixels, ty*tx) f32 W to HBM (measured 10.6 ms for a
+    batch-8 nightview); the earlier full-contraction kernel kept them in
+    VMEM but paid ty*tx*256 MACs/pixel (3.55 ms); the slab cuts that to
+    ts*us*256 (typically 9x fewer)."""
     chunk = rows * 128
-    nt = ty * tx
 
-    def kernel(lut_ref, rt_ref, c_ref, v_ref, out_ref):
+    def kernel(lut_ref, r_ref, c_ref, v_ref, out_ref):
         v = v_ref[:].reshape(1, chunk)
         ohT = (v == jax.lax.broadcasted_iota(jnp.int32, (256, chunk), 0)
                ).astype(jnp.bfloat16)
-        W = jax.lax.dot_general(lut_ref[:], ohT,
+        W = jax.lax.dot_general(lut_ref[0], ohT,
                                 dimension_numbers=(((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        rl = jnp.broadcast_to(rt_ref[:][:, :, None], (ty, rows, 128)
-                              ).reshape(ty, chunk)
-        cl = jnp.broadcast_to(c_ref[:][:, None, :], (tx, rows, 128)
-                              ).reshape(tx, chunk)
-        res = jnp.zeros((1, chunk), jnp.float32)
-        for u in range(tx):
-            tmp = jnp.sum(W[u * ty:(u + 1) * ty, :] * rl, axis=0,
-                          keepdims=True)
-            res = res + tmp * cl[u:u + 1, :]
-        out_ref[:] = jnp.clip(jnp.rint(res), 0, 255
-                              ).astype(jnp.int32).reshape(rows, 128)
+        r = r_ref[0]                                   # (rows, ts_n)
+        c = c_ref[0]                                   # (us_n, 128)
+        res = jnp.zeros((rows, 128), jnp.float32)
+        for b in range(us_n):
+            inner = jnp.zeros((rows, 128), jnp.float32)
+            for a in range(ts_n):
+                Wa = W[b * ts_n + a].reshape(rows, 128)
+                inner = inner + Wa * r[:, a][:, None]
+            res = res + inner * c[b][None, :]
+        out_ref[:] = jnp.clip(jnp.rint(res), 0, 255).astype(jnp.int32)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "rows"))
+@functools.partial(jax.jit, static_argnames=("th", "tw", "interpret",
+                                             "rows"))
 def clahe_apply_pallas(gray: jnp.ndarray, luts: jnp.ndarray,
                        R: jnp.ndarray, C: jnp.ndarray,
+                       th: int, tw: int,
                        interpret: bool = False,
                        rows: int = _CLAHE_ROWS) -> jnp.ndarray:
-    """ops.histogram.clahe_apply_matrix as a fused Pallas kernel.
+    """ops.histogram.clahe_apply_matrix as a fused tile-slab Pallas kernel.
 
     gray: uint8 (H, W); luts: (ty, tx, 256) tile LUTs (u8-valued);
     R: (H, ty) row blend matrix; C: (tx, W) column blend matrix
-    (clahe_blend_matrix). Returns uint8 (H, W). Same t-then-u contraction
-    nesting as the matrix path, but the t-reduce is a sublane tree — on
-    isolated cvRound-boundary pixels (measured 1/64000 random) it lands on
-    the other side of x.5 vs clahe_apply_matrix; both stay within the
-    documented ±1 LSB contract vs cv2."""
+    (clahe_blend_matrix); th/tw: static tile height/width the matrices
+    were built with. Returns uint8 (H, W), bit-identical to
+    clahe_apply_matrix (see _make_clahe_slab_kernel)."""
     h, w = int(gray.shape[0]), int(gray.shape[1])
     ty, tx = int(luts.shape[0]), int(luts.shape[1])
     hp = _round_up(h, rows)
     wp = _round_up(w, 128)
+    ni, nj = hp // rows, wp // 128
+
+    tstarts, ts_n = _clahe_slab_starts(h, th, ty, rows)
+    ustarts, us_n = _clahe_slab_starts(w, tw, tx, 128)
 
     v = jnp.pad(gray.astype(jnp.int32), ((0, hp - h), (0, wp - w)))
-    # W rows ordered u*ty + t (see kernel docstring)
-    lut_ut = (luts.astype(jnp.bfloat16).reshape(ty, tx, 256)
-              .transpose(1, 0, 2).reshape(ty * tx, 256))
-    rt = jnp.pad(R.astype(jnp.float32).T, ((0, 0), (0, hp - h)))   # (ty, hp)
-    cf = jnp.pad(C.astype(jnp.float32), ((0, 0), (0, wp - w)))     # (tx, wp)
+    # LUT slabs (ni*nj, us_n*ts_n, 256): rows ordered b*ts_n + a so the
+    # kernel's t-then-u nesting walks contiguous sublane groups. All
+    # indices are static numpy — XLA lowers the gather to slices.
+    t_idx = tstarts[:, None] + np.arange(ts_n)             # (ni, ts_n)
+    u_idx = ustarts[:, None] + np.arange(us_n)             # (nj, us_n)
+    lut_slab = (luts.astype(jnp.bfloat16)
+                [t_idx[:, None, None, :], u_idx[None, :, :, None]]
+                .reshape(ni * nj, us_n * ts_n, 256))
+    # per-block blend-matrix slices (zero rows/cols for pad pixels)
+    Rp = jnp.pad(R.astype(jnp.float32), ((0, hp - h), (0, 0)))
+    r_slab = Rp.reshape(ni, rows, ty)[
+        np.arange(ni)[:, None, None],
+        np.arange(rows)[None, :, None],
+        t_idx[:, None, :]]                                 # (ni, rows, ts_n)
+    Cp = jnp.pad(C.astype(jnp.float32), ((0, 0), (0, wp - w)))
+    c_slab = Cp.T.reshape(nj, 128, tx)[
+        np.arange(nj)[:, None, None],
+        np.arange(128)[None, :, None],
+        u_idx[:, None, :]].transpose(0, 2, 1)              # (nj, us_n, 128)
 
-    kernel = _make_clahe_apply_kernel(rows, ty, tx)
+    kernel = _make_clahe_slab_kernel(rows, ts_n, us_n)
     out = pl.pallas_call(
         kernel,
-        grid=(hp // rows, wp // 128),
+        grid=(ni, nj),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # LUTs
-            pl.BlockSpec((ty, rows), lambda i, j: (0, i),
+            pl.BlockSpec((1, us_n * ts_n, 256),
+                         lambda i, j, _nj=nj: (i * _nj + j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tx, 128), lambda i, j: (0, j),
+            pl.BlockSpec((1, rows, ts_n), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, us_n, 128), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 128), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -725,7 +794,7 @@ def clahe_apply_pallas(gray: jnp.ndarray, luts: jnp.ndarray,
         out_specs=pl.BlockSpec((rows, 128), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(lut_ut, rt, cf, v)
+    )(lut_slab, r_slab, c_slab, v)
     return out[:h, :w].astype(jnp.uint8)
 
 
