@@ -107,8 +107,28 @@ def main():
     rho_base = max(c_mid - (w - 1) - 1, 0)
     rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, h - 1))) + 1, numrho - 1)
 
-    def chained_vote(mxu, clip, rows):
+    def theta_wins_for(lo_b=64, theta_bins=180):
+        c_mid = (numrho - 1) // 2
+        rho_bins = rho_hi - rho_base + 1
+        th_np = np.arange(theta_bins) * (np.pi / theta_bins)
+        ct_np, st_np = np.cos(th_np), np.sin(th_np)
+        rmin = (w - 1) * np.minimum(ct_np, 0.0)
+        rmax = (w - 1) * np.maximum(ct_np, 0.0) + (h - 1) * st_np
+        gmin = np.clip(np.floor(rmin) - 1 + c_mid - rho_base, 0,
+                       rho_bins - 1).astype(np.int64)
+        gmax = np.clip(np.ceil(rmax) + 1 + c_mid - rho_base, 0,
+                       rho_bins - 1).astype(np.int64)
+        win0 = gmin // lo_b
+        span = int((gmax // lo_b + 1 - win0).max())
+        gb = (rho_bins + lo_b - 1) // lo_b
+        win0 = np.minimum(win0, gb - span)
+        return tuple(int(v) for v in win0), span
+
+    def chained_vote(mxu, clip, rows, wins=False):
         kw = dict(rho_base=rho_base, rho_bins=rho_hi - rho_base + 1) if clip else {}
+        if wins:
+            tw, span = theta_wins_for()
+            kw.update(theta_wins=tw, win_hi=span)
 
         @jax.jit
         def f(xs):
@@ -116,7 +136,7 @@ def main():
                 xs_, acc = carry
                 v = jax.vmap(lambda a, b, c: hough_votes_pallas(
                     a, b, c, numrho, mxu=mxu, rows=rows, **kw))(xs_, ys_t, counts)
-                tok = v.reshape(-1)[::1313].sum()
+                tok = v.sum()
                 return xs_.at[0, 0, 0].set(xs_[0, 0, 0] + 0.0 * tok), acc + tok
             return lax.fori_loop(0, REPS, body, (xs, jnp.int32(0)))[1]
         s = int(np.asarray(f(xs_t)))
@@ -128,13 +148,16 @@ def main():
         return (best - rtt) / REPS, s // REPS
 
     ref = None
-    for mxu, clip, rows in (("bf16", True, 64), ("bf16", True, 128),
-                            ("bf16", False, 64), ("int8", True, 64)):
-        dt, s = chained_vote(mxu, clip, rows)
+    for name, mxu, clip, rows, wins in (
+            ("bf16_clip1_rows64", "bf16", True, 64, False),
+            ("bf16_wins_rows64", "bf16", True, 64, True),
+            ("bf16_wins_rows128", "bf16", True, 128, True),
+            ("bf16_clip0_rows64", "bf16", False, 64, False)):
+        dt, s = chained_vote(mxu, clip, rows, wins)
         if ref is None:
             ref = s
-        assert s == ref, (mxu, clip, rows, s, ref)
-        print(f"vote_{mxu}_clip{int(clip)}_rows{rows:<4d}  {dt*1e3:7.2f} ms")
+        assert s == ref, (name, s, ref)
+        print(f"vote_{name:22s}  {dt*1e3:7.2f} ms")
 
     # --- full deskew statistic ---
     def fold(eb):

@@ -4,6 +4,7 @@ import numpy as np
 import cv2
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from tpuimage.ops.pallas_kernels import bilateral_gray_pallas
@@ -121,3 +122,29 @@ class TestPallasClaheApply:
                                impl="pallas"))
         d = np.abs(out.astype(int) - ref.astype(int))
         assert d.max() <= 1 and (d != 0).mean() < 5e-3
+
+
+class TestPallasHist:
+    def test_counts_match_scatter(self, rng):
+        from tpuimage.ops.histogram import hist256
+        from tpuimage.ops.pallas_kernels import hist256_batch_pallas
+        imgs = rng.integers(0, 256, (3, 211, 173), np.uint8)
+        ref = np.stack([np.bincount(im.reshape(-1), minlength=256)
+                        for im in imgs])
+        got = np.asarray(hist256_batch_pallas(jnp.asarray(imgs),
+                                              interpret=True))
+        np.testing.assert_array_equal(got, ref)
+        # forced-impl library surface
+        one = np.asarray(hist256(jnp.asarray(imgs[0]), impl="pallas"))
+        np.testing.assert_array_equal(one, ref[0])
+
+    def test_vmap_matches(self, rng):
+        """vmapped single-image form == batched form (docscan's Otsu pair
+        runs under vmap inside the fused program)."""
+        from tpuimage.ops.histogram import hist256
+        imgs = rng.integers(0, 256, (2, 64, 128), np.uint8)
+        a = np.asarray(jax.vmap(lambda g: hist256(g, impl="pallas"))(
+            jnp.asarray(imgs)))
+        ref = np.stack([np.bincount(im.reshape(-1), minlength=256)
+                        for im in imgs])
+        np.testing.assert_array_equal(a, ref)

@@ -37,9 +37,16 @@ def hist256(gray: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     a path (tests assert both agree on CPU)."""
     import jax
     if impl == "auto":
-        impl = "scatter" if jax.default_backend() == "cpu" else "mxu"
+        impl = "scatter" if jax.default_backend() == "cpu" else "pallas"
     if impl == "scatter":
         return jnp.zeros(256, jnp.int32).at[i32(gray).reshape(-1)].add(1)
+    if impl == "pallas":
+        # TPU production path: the MXU form below materializes ~68 bytes
+        # of one-hot indicators per pixel to HBM; the kernel builds them
+        # in VMEM (identical counts, tests/test_pallas.py)
+        from tpuimage.ops.pallas_kernels import hist256_batch_pallas
+        return hist256_batch_pallas(
+            gray[None], interpret=jax.default_backend() == "cpu")[0]
     v = i32(gray).reshape(-1)
     hi = v >> 6
     lo = v & 63
@@ -112,11 +119,16 @@ def _clahe_tile_luts(tiles: jnp.ndarray, clip_limit: float, tile_area: int,
     "scatter" / "mxu" force a path (tests assert both agree on CPU)."""
     nbins = 256
     if impl == "auto":
-        impl = "scatter" if jax.default_backend() == "cpu" else "mxu"
+        impl = "scatter" if jax.default_backend() == "cpu" else "pallas"
     if impl == "scatter":
         one_hot_counts = jax.vmap(
             lambda t: jnp.zeros(nbins, jnp.int32).at[i32(t)].add(1))(tiles)
         return _tile_luts_from_counts(one_hot_counts, clip_limit, tile_area)
+    if impl == "pallas":
+        from tpuimage.ops.pallas_kernels import hist256_batch_pallas
+        counts = hist256_batch_pallas(
+            tiles, interpret=jax.default_backend() == "cpu")
+        return _tile_luts_from_counts(counts, clip_limit, tile_area)
     # per-tile histograms via the same hi/lo one-hot matmul as hist256
     # (batched einsum: T tiles at once, exact integer counts in f32)
     v = i32(tiles)                      # (T, N)
@@ -183,7 +195,8 @@ def clahe(gray: jnp.ndarray, clip_limit: float = 40.0,
              .transpose(0, 2, 1, 3)
              .reshape(tiles_y * tiles_x, th * tw))
     luts = f32(_clahe_tile_luts(tiles, clip_limit, th * tw,
-                                impl="scatter" if impl == "gather" else "mxu")
+                                impl="scatter" if impl == "gather" else
+                                ("mxu" if impl == "mxu" else "auto"))
                .reshape(tiles_y, tiles_x, 256))
 
     if impl == "gather":

@@ -253,7 +253,7 @@ _HOUGH_BANDS = 128   # compaction bands (edge e lives in band flat_idx % 128)
 _HOUGH_ROWS = 64     # rows per in-kernel chunk (chunk = ROWS * BANDS edges)
 
 
-def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
+def _make_hough_kernel(n_hi: int, nbins: int,
                        mxu_dtype, acc_dtype, rows: int = _HOUGH_ROWS,
                        swap_mn: bool = False, lo_bins: int = _HOUGH_LO,
                        n_chunks: int = 1, pipelined: bool = False):
@@ -297,13 +297,14 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
     acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
 
     def make_accumulate_theta(pipelined: bool):
-        def build(c, ct, st, xs_ref, ys_ref):
+        def build(c, ct, st, rs, xs_ref, ys_ref):
             # x/y arrive precomputed (poisoned for invalid slots — see
             # hough_votes_pallas docstring): 2 FMAs + round per edge, then
-            # the two iota compares (the dominant VPU cost)
+            # the two iota compares (the dominant VPU cost). rs is the
+            # (possibly per-theta, see theta_wins) bin re-base shift.
             x = xs_ref[pl.ds(c * rows, rows), :]
             y = ys_ref[pl.ds(c * rows, rows), :]
-            r = (jnp.round(x * ct + y * st).astype(jnp.int32) + r_shift
+            r = (jnp.round(x * ct + y * st).astype(jnp.int32) + rs
                  ).reshape(1, chunk)
             if shift is not None:
                 hi = jax.lax.shift_right_arithmetic(r, shift)
@@ -323,39 +324,41 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
                 a, b, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=acc_dtype)
 
-        def accumulate_serial(ct, st, nt_ref, xs_ref, ys_ref, acc_ref):
+        def accumulate_serial(ct, st, rs, nt_ref, xs_ref, ys_ref, acc_ref):
             acc_ref[:] = jnp.zeros(acc_shape, acc_dtype)
 
             def body(c, _):
-                dot_acc(acc_ref, *build(c, ct, st, xs_ref, ys_ref))
+                dot_acc(acc_ref, *build(c, ct, st, rs, xs_ref, ys_ref))
                 return 0
 
             jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
 
-        def accumulate_pipelined(ct, st, nt_ref, xs_ref, ys_ref, acc_ref):
+        def accumulate_pipelined(ct, st, rs, nt_ref, xs_ref, ys_ref,
+                                 acc_ref):
             acc_ref[:] = jnp.zeros(acc_shape, acc_dtype)
 
             def body(c, carry):
-                nxt = build(jnp.minimum(c + 1, n_chunks - 1), ct, st,
+                nxt = build(jnp.minimum(c + 1, n_chunks - 1), ct, st, rs,
                             xs_ref, ys_ref)
                 dot_acc(acc_ref, *carry)
                 return nxt
 
             jax.lax.fori_loop(0, nt_ref[0, 0], body,
-                              build(0, ct, st, xs_ref, ys_ref))
+                              build(0, ct, st, rs, xs_ref, ys_ref))
 
         return accumulate_pipelined if pipelined else accumulate_serial
 
     accumulate_theta = make_accumulate_theta(pipelined)
 
-    def kernel(nt_ref, ct_ref, st_ref, xs_ref, ys_ref, out_ref, acc_ref):
+    def kernel(nt_ref, ct_ref, st_ref, rs_ref, xs_ref, ys_ref, out_ref,
+               acc_ref):
         t = pl.program_id(0)
-        accumulate_theta(ct_ref[t, 0], st_ref[t, 0], nt_ref, xs_ref, ys_ref,
-                         acc_ref)
+        accumulate_theta(ct_ref[t, 0], st_ref[t, 0], rs_ref[t, 0], nt_ref,
+                         xs_ref, ys_ref, acc_ref)
         out_ref[:] = acc_ref[:].reshape((1,) + acc_shape)
 
-    def kernel_inner(nt_ref, ct_ref, st_ref, xs_ref, ys_ref, out_ref,
-                     acc_ref):
+    def kernel_inner(nt_ref, ct_ref, st_ref, rs_ref, xs_ref, ys_ref,
+                     out_ref, acc_ref):
         # all theta bins in ONE grid step (fori inside): for small edge
         # sets the per-grid-step machinery dominates (measured on 256x256
         # classifier-cue images: 2160 vmapped (image, theta) steps cost
@@ -363,8 +366,8 @@ def _make_hough_kernel(r_shift: int, n_hi: int, nbins: int,
         n_t = ct_ref.shape[0]
 
         def tloop(t, _):
-            accumulate_theta(ct_ref[t, 0], st_ref[t, 0], nt_ref, xs_ref,
-                             ys_ref, acc_ref)
+            accumulate_theta(ct_ref[t, 0], st_ref[t, 0], rs_ref[t, 0],
+                             nt_ref, xs_ref, ys_ref, acc_ref)
             out_ref[pl.ds(t, 1)] = acc_ref[:].reshape((1,) + acc_shape)
             return 0
 
@@ -393,7 +396,8 @@ _THETA_INNER_MAX_KB = 128
                                              "interpret", "rho_base",
                                              "rho_bins", "mxu", "rows",
                                              "swap_mn", "lo_bins",
-                                             "theta_inner", "pipelined"))
+                                             "theta_inner", "pipelined",
+                                             "theta_wins", "win_hi"))
 def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        counts: jnp.ndarray, numrho: int,
                        theta_bins: int = 180,
@@ -403,7 +407,8 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        swap_mn: bool = False,
                        lo_bins: int = _HOUGH_LO,
                        theta_inner: str = "auto",
-                       pipelined: bool = False) -> jnp.ndarray:
+                       pipelined: bool = False,
+                       theta_wins=None, win_hi: int = 0) -> jnp.ndarray:
     """(numrho, theta_bins) int32 vote accumulator over a band-compacted
     edge list — the Pallas production path of ops.hough.hough_accumulator
     (identical counts: same f32 round, same one-hot matmul contraction).
@@ -431,12 +436,34 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     reachable rho bins occupy 14%% of the 128x128 outer-product tile.
     """
     kb = int(xs_t.shape[0])
-    assert kb % rows == 0
+    if kb % rows:
+        padn = _round_up(kb, rows) - kb
+        xs_t = jnp.pad(xs_t, ((0, padn), (0, 0)),
+                       constant_values=HOUGH_POISON_X)
+        ys_t = jnp.pad(ys_t, ((0, padn), (0, 0)),
+                       constant_values=HOUGH_POISON_Y)
+        kb += padn
     assert numrho < 90000 and theta_bins <= 3600  # poison-coordinate bound
     if rho_bins <= 0:
         rho_base, rho_bins = 0, numrho
-    n_hi = (rho_bins + lo_bins - 1) // lo_bins + 1  # +1 spare row
-    r_shift = (numrho - 1) // 2 - rho_base
+    glob_shift = (numrho - 1) // 2 - rho_base
+    if theta_wins is not None:
+        # per-theta rho WINDOW: theta_wins[t] is the hi-block (lo_bins-
+        # aligned) offset of theta t's reachable rho range within the
+        # clipped [rho_base, rho_base+rho_bins) space, win_hi its static
+        # block span. The vote matrix shrinks from ceil(rho_bins/64) hi
+        # rows (every theta pays the union of all ranges) to win_hi
+        # (~1.5x fewer for A4 pages: the union spans w-1 + hypot bins but
+        # any single theta reaches at most hypot). Votes are re-based per
+        # theta via the SMEM rs table and shifted back exactly below.
+        assert len(theta_wins) == theta_bins and win_hi > 0
+        n_hi = win_hi + 1  # +1 spare row
+        wins_np = np.asarray(theta_wins, np.int64)
+        rs_np = glob_shift - wins_np * lo_bins
+    else:
+        n_hi = (rho_bins + lo_bins - 1) // lo_bins + 1  # +1 spare row
+        rs_np = np.full(theta_bins, glob_shift, np.int64)
+    rs_t = jnp.asarray(rs_np.reshape(theta_bins, 1), jnp.int32)
     mxu_dtype = jnp.int8 if mxu == "int8" else jnp.bfloat16
     acc_dtype = jnp.int32 if mxu == "int8" else jnp.float32
 
@@ -446,12 +473,38 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     n_trips = ((jnp.max(counts) + rows - 1) // rows
                ).astype(jnp.int32).reshape(1, 1)
 
-    kernel, kernel_inner = _make_hough_kernel(r_shift, n_hi, rho_bins,
+    kernel, kernel_inner = _make_hough_kernel(n_hi, rho_bins,
                                               mxu_dtype, acc_dtype, rows,
                                               swap_mn, lo_bins,
                                               n_chunks=kb // rows,
                                               pipelined=pipelined)
     acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
+
+    def unpack(votes):
+        """(theta, n_hi, lo) local windows -> (numrho, theta) global."""
+        if swap_mn:
+            votes = votes.transpose(0, 2, 1)
+        if theta_wins is None:
+            v = votes.reshape(theta_bins, n_hi * lo_bins)[:, :rho_bins
+                                                          ].astype(jnp.int32)
+        else:
+            # exact shift-back: per-theta one-hot block placement (counts
+            # are ints < 2^24: bf16 one-hot x f32 accumulation is exact)
+            gb = (rho_bins + lo_bins - 1) // lo_bins
+            sh = (wins_np[:, None] + np.arange(win_hi)[None, :])  # (T, win)
+            oh = (sh[:, None, :] == np.arange(gb)[None, :, None])
+            ohj = jnp.asarray(oh, jnp.float32)                  # (T, gb, win)
+            # counts can exceed bf16's integer range: f32 x f32 at HIGHEST
+            # precision keeps every product/sum an exact integer < 2^24
+            loc = votes[:, :win_hi, :].astype(jnp.float32)
+            glob = jnp.einsum("tgw,twl->tgl", ohj, loc,
+                              precision=jax.lax.Precision.HIGHEST)
+            v = glob.reshape(theta_bins, gb * lo_bins)[:, :rho_bins
+                                                       ].astype(jnp.int32)
+        if rho_bins < numrho:
+            v = jnp.pad(v, ((0, 0),
+                            (rho_base, numrho - rho_base - rho_bins)))
+        return v.T
     if theta_inner == "auto":
         theta_inner = "inner" if kb <= _THETA_INNER_MAX_KB else "grid"
     if theta_inner == "inner":
@@ -463,28 +516,26 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM(acc_shape, acc_dtype)],
             interpret=interpret,
-        )(n_trips, cos_t, sin_t, xs_t, ys_t)
-        if swap_mn:
-            votes = votes.transpose(0, 2, 1)
-        v = votes.reshape(theta_bins, n_hi * lo_bins)[:, :rho_bins
-                                                      ].astype(jnp.int32)
-        if rho_bins < numrho:
-            v = jnp.pad(v, ((0, 0), (rho_base, numrho - rho_base - rho_bins)))
-        return v.T
+        )(n_trips, cos_t, sin_t, rs_t, xs_t, ys_t)
+        return unpack(votes)
     votes = pl.pallas_call(
         kernel,
         grid=(theta_bins,),
         out_shape=jax.ShapeDtypeStruct((theta_bins,) + acc_shape, acc_dtype),
         in_specs=[
             pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
-            # full trig tables in SMEM, indexed by program_id (per-step
-            # (1,1) SMEM blocks fail Mosaic's block-shape divisibility check)
+            # full trig/shift tables in SMEM, indexed by program_id (per-
+            # step (1,1) SMEM blocks fail Mosaic's block-shape divisibility
+            # check)
+            pl.BlockSpec((theta_bins, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((theta_bins, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((theta_bins, 1), lambda t: (0, 0),
@@ -499,15 +550,10 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM(acc_shape, acc_dtype)],
         interpret=interpret,
-    )(n_trips, cos_t, sin_t, xs_t, ys_t)
-    if swap_mn:
-        votes = votes.transpose(0, 2, 1)  # (theta, lo, hi) -> (theta, hi, lo)
-    # drop the spare row's lane range, pad the clipped (provably zero-vote)
-    # rho range back, return in (numrho, theta) layout
-    v = votes.reshape(theta_bins, n_hi * lo_bins)[:, :rho_bins].astype(jnp.int32)
-    if rho_bins < numrho:
-        v = jnp.pad(v, ((0, 0), (rho_base, numrho - rho_base - rho_bins)))
-    return v.T
+    )(n_trips, cos_t, sin_t, rs_t, xs_t, ys_t)
+    # drop the spare row's lane range, shift windows back (theta_wins), pad
+    # the clipped (provably zero-vote) rho range, return (numrho, theta)
+    return unpack(votes)
 
 
 # ---------------------------------------------------------------------------
@@ -796,6 +842,80 @@ def clahe_apply_pallas(gray: jnp.ndarray, luts: jnp.ndarray,
         interpret=interpret,
     )(lut_slab, r_slab, c_slab, v)
     return out[:h, :w].astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# 256-bin histograms — fused hi/lo one-hot kernel
+# ---------------------------------------------------------------------------
+
+_HIST_ROWS = 256  # pixel rows per grid step
+
+
+def _make_hist_kernel(rows: int, n_chunks: int):
+    """Accumulates a (4, 64) hi/lo count matrix over row-chunks of one
+    image: counts[hi, lo] = #pixels with value hi*64+lo, exactly the
+    ops.histogram.hist256 MXU formulation — but the (chunk, 4) and
+    (chunk, 64) one-hots are built lane-major in vregs and die inside the
+    chunk instead of round-tripping HBM (the XLA form moves ~68 pixel-
+    bytes of indicators per pixel: ~2.2 GB for a batch-8 docscan Otsu
+    pair). Padding slots carry -1: hi = -1 matches no hi row, so they
+    contribute nothing (vote-kernel poison trick)."""
+    chunk = rows * 128
+
+    def kernel(v_ref, out_ref, acc_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            acc_ref[:] = jnp.zeros((8, 64), jnp.float32)
+
+        v = v_ref[:].reshape(1, chunk)
+        hi = jax.lax.shift_right_arithmetic(v, 6)
+        lo = jax.lax.bitwise_and(v, 63)
+        oh_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 0)
+                 ).astype(jnp.bfloat16)
+        oh_lo = (lo == jax.lax.broadcasted_iota(jnp.int32, (64, chunk), 0)
+                 ).astype(jnp.bfloat16)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            oh_hi, oh_lo, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            out_ref[:] = acc_ref[:].reshape(1, 8, 64)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rows"))
+def hist256_batch_pallas(vals: jnp.ndarray, interpret: bool = False,
+                         rows: int = _HIST_ROWS) -> jnp.ndarray:
+    """(B, ...) uint8 -> (B, 256) int32 histograms, identical counts to
+    ops.histogram.hist256 (tests/test_pallas.py). The TPU production path
+    for full-image histograms (Otsu pairs, CLAHE tile LUT builds, report
+    panels)."""
+    b = int(vals.shape[0])
+    n = int(np.prod(vals.shape[1:]))
+    rows_total = _round_up(-(-n // 128), rows)
+    pad = rows_total * 128 - n
+    v = vals.reshape(b, n).astype(jnp.int32)
+    v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=-1)
+    v = v.reshape(b, rows_total, 128)
+    n_chunks = rows_total // rows
+
+    kernel = _make_hist_kernel(rows, n_chunks)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_chunks),
+        out_shape=jax.ShapeDtypeStruct((b, 8, 64), jnp.float32),
+        in_specs=[pl.BlockSpec((1, rows, 128), lambda i, c: (i, c, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, 64), lambda i, c: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, 64), jnp.float32)],
+        interpret=interpret,
+    )(v)
+    return out.reshape(b, 512)[:, :256].astype(jnp.int32)
 
 
 def bilateral_pallas_applicable(img, d: int = 9,
