@@ -63,3 +63,67 @@ class TestNativeContours:
         # the numpy path takes >10s on this input; 5.0s leaves ~25x headroom
         # over the native tracer's typical ~0.2s so CI load can't flake it
         assert a and native_t < 5.0
+
+
+def _numpy_draw_segments(shape, segments, thickness):
+    """Independent vectorized form of the f64 point-to-segment predicate
+    (full bounding-box evaluation, no per-row windowing) — the oracle for
+    both the C++ capsule-scan rasterizer and draw_segments' own fallback."""
+    h, w = shape
+    out = np.zeros((h, w), dtype=np.uint8)
+    r = thickness / 2.0
+    for x1, y1, x2, y2 in np.asarray(segments, np.float64).reshape(-1, 4):
+        lo_x = max(int(np.floor(min(x1, x2) - r - 1)), 0)
+        hi_x = min(int(np.ceil(max(x1, x2) + r + 1)), w - 1)
+        lo_y = max(int(np.floor(min(y1, y2) - r - 1)), 0)
+        hi_y = min(int(np.ceil(max(y1, y2) + r + 1)), h - 1)
+        if lo_x > hi_x or lo_y > hi_y:
+            continue
+        ys, xs = np.mgrid[lo_y:hi_y + 1, lo_x:hi_x + 1]
+        dx, dy = x2 - x1, y2 - y1
+        L2 = dx * dx + dy * dy
+        if L2 == 0.0:
+            d2 = (xs - x1) ** 2 + (ys - y1) ** 2
+        else:
+            t = np.clip(((xs - x1) * dx + (ys - y1) * dy) / L2, 0.0, 1.0)
+            d2 = (xs - (x1 + t * dx)) ** 2 + (ys - (y1 + t * dy)) ** 2
+        box = out[lo_y:hi_y + 1, lo_x:hi_x + 1]
+        box[d2 <= r * r] = 255
+    return out
+
+
+class TestNativeDrawSegments:
+    def test_matches_numpy_random(self, lib, rng):
+        from tpuimage.ops.draw import draw_segments
+        segs = rng.random((40, 4)) * [[120, 90, 120, 90]]
+        for thickness in (1, 2, 5):
+            a = draw_segments((90, 120), segs, thickness=thickness)
+            b = _numpy_draw_segments((90, 120), segs, thickness)
+            np.testing.assert_array_equal(a, b)
+
+    def test_degenerate_and_offcanvas(self, lib):
+        from tpuimage.ops.draw import draw_segments
+        segs = [(10.0, 10.0, 10.0, 10.0),      # zero-length
+                (-50.0, -50.0, -10.0, -10.0),  # fully off-canvas
+                (5.5, -20.0, 5.5, 200.0),      # vertical, clipped both ends
+                (-20.0, 30.25, 200.0, 30.25)]  # horizontal, clipped
+        a = draw_segments((64, 64), segs, thickness=3)
+        b = _numpy_draw_segments((64, 64), segs, 3)
+        np.testing.assert_array_equal(a, b)
+
+    def test_empty_segments(self, lib):
+        from tpuimage.ops.draw import draw_segments
+        assert draw_segments((32, 32), []).sum() == 0
+
+
+class TestContourAreas:
+    def test_matches_scalar_loop(self, rng):
+        binary = (rng.random((120, 160)) < 0.25).astype(np.uint8) * 255
+        cs = cnt.find_external_contours(binary)
+        assert len(cs) > 10
+        vec = cnt.contour_areas(cs)
+        ref = np.asarray([cnt.contour_area(c) for c in cs])
+        np.testing.assert_array_equal(vec, ref)
+
+    def test_empty(self):
+        assert cnt.contour_areas([]).shape == (0,)

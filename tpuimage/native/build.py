@@ -49,6 +49,13 @@ def load_native() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ]
+            dr = lib.tpuimage_draw_segments
+            dr.restype = None
+            dr.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_double,
+            ]
             _lib = lib
         except Exception:
             _failed = True

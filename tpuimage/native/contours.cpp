@@ -12,6 +12,8 @@
 // the same traversal as the Python reference implementation in
 // detect/contours.py (kept value-identical; see test_native.py).
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -97,6 +99,61 @@ int64_t tpuimage_trace_contours(const uint8_t* img, int64_t h, int64_t w,
         }
     }
     return n_contours;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Rasterize thick segments: for each (x1,y1,x2,y2) in segs (n x 4,
+// float64), set out[y*w+x] = 255 for every pixel whose center lies within
+// distance r of the segment — the SAME f64 point-to-segment predicate as
+// tpuimage.ops.draw.draw_segments's numpy form (value-identical; see
+// test_native.py), but scanning only a tight per-row window around the
+// capsule instead of the whole bounding box (~50x fewer predicate
+// evaluations for long diagonal segments).
+void tpuimage_draw_segments(const double* segs, int64_t n,
+                            uint8_t* out, int64_t h, int64_t w, double r) {
+  const double r2 = r * r;
+  for (int64_t s = 0; s < n; ++s) {
+    const double x1 = segs[4 * s], y1 = segs[4 * s + 1];
+    const double x2 = segs[4 * s + 2], y2 = segs[4 * s + 3];
+    const double dx = x2 - x1, dy = y2 - y1;
+    const double L2 = dx * dx + dy * dy;
+    int64_t lo_y = (int64_t)std::floor(std::min(y1, y2) - r - 1);
+    int64_t hi_y = (int64_t)std::ceil(std::max(y1, y2) + r + 1);
+    if (lo_y < 0) lo_y = 0;
+    if (hi_y > h - 1) hi_y = h - 1;
+    for (int64_t y = lo_y; y <= hi_y; ++y) {
+      // conservative t-range whose segment points have |y_pt - y| <= r
+      double t1 = 0.0, t2 = 1.0;
+      if (dy > 1e-12 || dy < -1e-12) {
+        double ta = (y - r - y1) / dy, tb = (y + r - y1) / dy;
+        t1 = std::max(0.0, std::min(ta, tb));
+        t2 = std::min(1.0, std::max(ta, tb));
+        if (t1 > t2) continue;
+      }
+      const double xa = x1 + t1 * dx, xb = x1 + t2 * dx;
+      int64_t lo_x = (int64_t)std::floor(std::min(xa, xb) - r - 1);
+      int64_t hi_x = (int64_t)std::ceil(std::max(xa, xb) + r + 1);
+      if (lo_x < 0) lo_x = 0;
+      if (hi_x > w - 1) hi_x = w - 1;
+      uint8_t* row = out + y * w;
+      for (int64_t x = lo_x; x <= hi_x; ++x) {
+        double d2;
+        if (L2 == 0.0) {
+          const double ex = x - x1, ey = y - y1;
+          d2 = ex * ex + ey * ey;
+        } else {
+          double t = ((x - x1) * dx + (y - y1) * dy) / L2;
+          t = t < 0.0 ? 0.0 : (t > 1.0 ? 1.0 : t);
+          const double ex = x - (x1 + t * dx), ey = y - (y1 + t * dy);
+          d2 = ex * ex + ey * ey;
+        }
+        if (d2 <= r2) row[x] = 255;
+      }
+    }
+  }
 }
 
 }  // extern "C"

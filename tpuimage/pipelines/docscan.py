@@ -165,9 +165,9 @@ def _quad_from_localize(edges: np.ndarray, segs: np.ndarray, ok: np.ndarray,
 
     contour_list = cnt.find_external_contours(combined)
     img_area = shape[0] * shape[1]
-    filtered = [c for c in contour_list
-                if config.min_area_ratio <= cnt.contour_area(c) / max(img_area, 1)
-                <= config.max_area_ratio]
+    areas = cnt.contour_areas(contour_list) / max(img_area, 1)
+    filtered = [c for c, a in zip(contour_list, areas)
+                if config.min_area_ratio <= a <= config.max_area_ratio]
     quad = _largest_quadrilateral(filtered if filtered else contour_list)
     if quad is None:
         if not contour_list:
@@ -177,19 +177,57 @@ def _quad_from_localize(edges: np.ndarray, segs: np.ndarray, ok: np.ndarray,
     return order_quad_points(quad)
 
 
-def localize_batch(rgbs: np.ndarray, config: DocScanConfig) -> list:
-    """Batched localize for SAME-SHAPE raw images (the serving path): ONE
-    vmapped device dispatch for Canny + Hough segments over the whole
-    stack, then the per-image host contour walk. Replaces N sequential
-    ~RTT-bound dispatches in scan_batch with one (the tunnel round-trip
-    dominated e2e latency, not compute)."""
-    edges_d, segs_d, ok_d = _localize_device_batch(
-        jnp.asarray(rgbs), config.canny_low, config.canny_high)
-    edges_b, segs_b, ok_b = (np.asarray(edges_d), np.asarray(segs_d),
-                             np.asarray(ok_d))
+def _pack_bits_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """Pack a 0/255 (or 0/1) uint8 array's last axis 8 pixels/byte
+    (little-endian bit order, matching np.unpackbits(bitorder='little')).
+    The axon tunnel fetches at ~40 MB/s, so binary device→host transfers
+    (edge maps, clean pages) shrink 8x for a few cheap device ops."""
+    w = x.shape[-1]
+    wp = -(-w // 8) * 8
+    bits = jnp.pad((x > 0).astype(jnp.uint8),
+                   [(0, 0)] * (x.ndim - 1) + [(0, wp - w)])
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return (bits.reshape(*x.shape[:-1], wp // 8, 8) * weights).sum(
+        axis=-1, dtype=jnp.uint8)
+
+
+_pack_bits_jit = jax.jit(_pack_bits_u8)
+
+
+def _unpack_bits_host(packed: np.ndarray, w: int) -> np.ndarray:
+    """Host inverse of _pack_bits_u8 → 0/255 uint8."""
+    return (np.unpackbits(packed, axis=-1, bitorder="little")
+            [..., :w] * np.uint8(255))
+
+
+@functools.partial(jax.jit, static_argnames=("canny_low", "canny_high"))
+def _localize_device_batch_packed(rgbs: jnp.ndarray, canny_low: int,
+                                  canny_high: int):
+    """_localize_device_batch with the edge maps bit-packed on device."""
+    edges, segs, ok = jax.vmap(
+        lambda im: _localize_device(im, canny_low, canny_high))(rgbs)
+    return _pack_bits_u8(edges), segs, ok
+
+
+def localize_batch_dev(rgb_dev: jnp.ndarray, config: DocScanConfig) -> list:
+    """Batched localize over a DEVICE-RESIDENT same-shape stack: ONE
+    vmapped dispatch for Canny + Hough segments (edge maps bit-packed for
+    the tunnel fetch), then the per-image host contour walk."""
+    b, h, w = int(rgb_dev.shape[0]), int(rgb_dev.shape[1]), int(rgb_dev.shape[2])
+    packed_d, segs_d, ok_d = _localize_device_batch_packed(
+        rgb_dev, config.canny_low, config.canny_high)
+    packed, segs_b, ok_b = (np.asarray(packed_d), np.asarray(segs_d),
+                            np.asarray(ok_d))
+    edges_b = _unpack_bits_host(packed, w)
     return [_quad_from_localize(edges_b[i], segs_b[i], ok_b[i],
-                                rgbs[i].shape, config)
-            for i in range(len(rgbs))]
+                                (h, w), config)
+            for i in range(b)]
+
+
+def localize_batch(rgbs: np.ndarray, config: DocScanConfig) -> list:
+    """localize_batch_dev over a host batch (uploads once). Replaces N
+    sequential ~RTT-bound dispatches in scan_batch with one."""
+    return localize_batch_dev(jnp.asarray(rgbs), config)
 
 
 def localize_document(rgb: np.ndarray, config: DocScanConfig) -> Optional[np.ndarray]:
@@ -504,7 +542,9 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
     This is the scale-out replacement for calling process_document in a
     loop: one jit dispatch amortizes the whole batch (SURVEY.md §2.3 DP).
     """
-    # --- load + localize (same-shape raw images share ONE device dispatch) ---
+    # --- load + localize (same-shape raw images share ONE upload and ONE
+    # device dispatch; the uploaded stack stays device-resident for the
+    # warp so each image crosses the ~40 MB/s tunnel exactly once) ---
     rgbs = []
     metas = [None] * len(inputs)
     for i, item in enumerate(inputs):
@@ -520,21 +560,22 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
     for i, rgb in enumerate(rgbs):
         if rgb is not None:
             by_shape.setdefault(rgb.shape, []).append(i)
+    dev_stacks: Dict[tuple, tuple] = {}   # shape -> (device stack, {idx: row})
     for shape, idxs in by_shape.items():
         try:
-            if len(idxs) > 1:
-                found = localize_batch(np.stack([rgbs[i] for i in idxs]), config)
-                for i, q in zip(idxs, found):
-                    quads[i] = q
-            else:
-                quads[idxs[0]] = localize_document(rgbs[idxs[0]], config)
+            stack_dev = jnp.asarray(np.stack([rgbs[i] for i in idxs]))
+            dev_stacks[shape] = (stack_dev, {i: j for j, i in enumerate(idxs)})
+            found = localize_batch_dev(stack_dev, config)
+            for i, q in zip(idxs, found):
+                quads[i] = q
         except Exception as e:
             for i in idxs:
                 metas[i] = {"error": str(e)}
                 rgbs[i] = None
 
     # --- warp (quad pages grouped by (input shape, target shape): one
-    # batched dispatch per group; use-whole fallbacks stay per-image) ---
+    # batched dispatch per group reading the device-resident stack; the
+    # warped pages STAY on device for the post-warp program) ---
     pages: list = [None] * len(inputs)
     warp_groups: Dict[tuple, list] = {}
     for i, rgb in enumerate(rgbs):
@@ -552,8 +593,9 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
                 th, tw = _warp_target_size(quad, config.page, config.scale_long)
                 warp_groups.setdefault((rgb.shape, th, tw), []).append(i)
             else:
-                pages[i] = np.asarray(geometry.resize_long_side(
-                    jnp.asarray(rgb), config.scale_long, interpolation="area"))
+                stack_dev, pos = dev_stacks[rgb.shape]
+                pages[i] = geometry.resize_long_side(
+                    stack_dev[pos[i]], config.scale_long, interpolation="area")
         except Exception as e:
             metas[i] = {"error": str(e)}
     for (shape, th, tw), idxs in warp_groups.items():
@@ -562,9 +604,12 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
                             [0, th - 1]], dtype=np.float32)
             minvs = np.stack([np.linalg.inv(geometry.get_perspective_transform(
                 metas[i]["quad"].astype(np.float32), dst)) for i in idxs])
-            warped = np.asarray(geometry.warp_perspective_batch(
-                jnp.asarray(np.stack([rgbs[i] for i in idxs])),
-                jnp.asarray(minvs, jnp.float32), th, tw))
+            stack_dev, pos = dev_stacks[shape]
+            rows = [pos[i] for i in idxs]
+            src = stack_dev if rows == list(range(stack_dev.shape[0])) \
+                else jnp.take(stack_dev, jnp.asarray(rows), axis=0)
+            warped = geometry.warp_perspective_batch(
+                src, jnp.asarray(minvs, jnp.float32), th, tw)
             for j, i in enumerate(idxs):
                 pages[i] = warped[j]
         except Exception as e:
@@ -580,17 +625,28 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
     for shape in shapes:
         idxs = [i for i, p in enumerate(pages)
                 if p is not None and p.shape == shape]
-        batch = jnp.asarray(np.stack([pages[i] for i in idxs]))
+        batch = jnp.stack([pages[i] for i in idxs])
+        n_real = batch.shape[0]
         if mesh is not None:
-            from tpuimage.runtime.mesh import shard_batch, pad_to_multiple
+            from tpuimage.runtime.mesh import shard_batch
             ndev = int(np.prod(list(mesh.shape.values())))
-            padded, n_real = pad_to_multiple(np.asarray(batch), ndev)
-            batch = shard_batch(jnp.asarray(padded), mesh)
-        else:
-            n_real = batch.shape[0]
+            rem = (-n_real) % ndev
+            if rem:
+                batch = jnp.concatenate(
+                    [batch, jnp.repeat(batch[-1:], rem, axis=0)], axis=0)
+            batch = shard_batch(batch, mesh)
         out = docscan_post_warp_batch(batch, config)
-        clean = np.asarray(out["clean"])[:n_real]
+        # fetch order matters over the tunnel: angles/overflow are bytes;
+        # when no page rotated, clean is strictly 0/255 (threshold + morph
+        # outputs) and fetches bit-packed 8x smaller. Any nonzero angle
+        # means bilinear rotation produced gray pixels → raw fetch.
+        angles = np.asarray(out["deskew_angle"])[:n_real]
         oflow = np.asarray(out["deskew_overflow"])[:n_real]
+        if not angles.any():
+            clean = _unpack_bits_host(
+                np.asarray(_pack_bits_jit(out["clean"])), shape[1])[:n_real]
+        else:
+            clean = np.asarray(out["clean"])[:n_real]
         for j, i in enumerate(idxs):
             out_by_idx[i] = (clean[j], bool(oflow[j]))
     for i, meta in enumerate(metas):
