@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from tpuimage.ops import color as colorops
 from tpuimage.ops.threshold import threshold_otsu
 from tpuimage.ops.edges import canny
-from tpuimage.ops.hough import hough_lines
+from tpuimage.ops.hough import hough_line_count
 from tpuimage.detect import contours as cnt
 from tpuimage.detect.haar import detect_faces, detect_faces_batch
 
@@ -37,9 +37,8 @@ def _device_cues(rgb: jnp.ndarray):
     # path (kb=128 — one grid step instead of 180 per image, the workload
     # the variant was built for; round-2 ADVICE item 1)
     h, w = gray.shape[0], gray.shape[1]
-    _, valid = hough_lines(edges, threshold=150, max_lines=256,
-                           max_edges=(h * w) // 4)
-    line_count = jnp.sum(valid.astype(jnp.int32))
+    line_count = hough_line_count(edges, threshold=150, max_lines=256,
+                                  max_edges=(h * w) // 4)
     brightness = jnp.mean(gray.astype(jnp.float32))
     return white_ratio, line_count, brightness, binary
 

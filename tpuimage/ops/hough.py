@@ -167,11 +167,17 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
         span = int((gmax // lo_b + 1 - win0).max())
         gb = (rho_bins + lo_b - 1) // lo_b
         win0 = np.minimum(win0, gb - span)
-        # rows=128 measured fastest with windows (micro_hough: 6.0 ms
-        # static clip/rows64 -> 4.3 ms wins/rows128 at batch 8)
+        # rows=128 measured fastest with windows for A4 pages (micro_hough:
+        # 6.0 ms static clip/rows64 -> 4.3 ms wins/rows128 at batch 8). On
+        # the theta-inner path (small cue images, kk <= 128) the chunk is
+        # mostly padding: real band counts are ~8-30, so rows=32 quarters
+        # the per-theta one-hot compare work (the VPU cost that dominates
+        # tiny images) while the dynamic trip count stays 1.
+        kk_est = min(max(1, k // 128), -(-(h * w) // 128))
+        rows = 128 if kk_est > 128 else 32
         acc = hough_votes_pallas(xs_t, ys_t, counts, numrho, theta_bins,
                                  interpret=not on_tpu, rho_base=rho_base,
-                                 rho_bins=rho_bins, rows=128,
+                                 rho_bins=rho_bins, rows=rows,
                                  theta_wins=tuple(int(v) for v in win0),
                                  win_hi=span)
         return (acc, overflow) if return_overflow else acc
@@ -255,6 +261,20 @@ def hough_fold_median_angle(edges: jnp.ndarray, threshold: int,
     med = 0.5 * (value_at_rank((n - 1) // 2) + value_at_rank(n // 2))
     angle = jnp.where(n > 0, med, 0.0)
     return (angle, overflow) if return_overflow else angle
+
+
+def hough_line_count(edges: jnp.ndarray, threshold: int, rho: float = 1.0,
+                     theta_bins: int = 180, max_lines: int = 64,
+                     max_edges: int = 0) -> jnp.ndarray:
+    """min(number of Hough peaks above threshold, max_lines) — identical to
+    ``hough_lines(...)[1].sum()`` (top_k keeps exactly the positive-vote
+    peaks) without materializing the top_k extraction, which dominates the
+    classifier-cue program on tiny images (the cue only compares the count
+    against a threshold, classification.py:72)."""
+    acc = hough_accumulator(edges, rho=rho, theta_bins=theta_bins,
+                            max_edges=max_edges)
+    n = jnp.sum(_is_peak(acc, threshold).astype(jnp.int32))
+    return jnp.minimum(n, max_lines)
 
 
 def hough_lines(edges: jnp.ndarray, threshold: int, rho: float = 1.0,
