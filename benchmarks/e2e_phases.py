@@ -44,18 +44,24 @@ def main():
         t["upload"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        packed_d, segs_d, ok_d = docscan._localize_device_batch_packed(
+        buf_d = docscan._localize_device_batch_packed(
             stack_dev, cfg.canny_low, cfg.canny_high)
-        sync(ok_d)
+        sync(buf_d)
         t["localize_dev"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        packed, segs_b, ok_b = (np.asarray(packed_d), np.asarray(segs_d),
-                                np.asarray(ok_d))
+        buf = np.asarray(buf_d)
         t["edge_fetch"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        edges_b = docscan._unpack_bits_host(packed, rgb.shape[1])
+        h0, w0 = rgb.shape[:2]
+        ne = h0 * (-(-w0 // 8))
+        edges_b = docscan._unpack_bits_host(
+            buf[:, :ne].reshape(BATCH, h0, -1), w0)
+        n_segs = (buf.shape[1] - ne) // 17
+        segs_b = buf[:, ne:ne + n_segs * 16].copy().view(np.float32
+                                                         ).reshape(BATCH, n_segs, 4)
+        ok_b = buf[:, ne + n_segs * 16:].astype(bool)
         quads = [docscan._quad_from_localize(edges_b[i], segs_b[i], ok_b[i],
                                              rgb.shape[:2], cfg)
                  for i in range(BATCH)]
@@ -76,14 +82,15 @@ def main():
         t["warp_dev"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        post = docscan.docscan_post_warp_batch(warped, cfg)
-        sync(post["deskew_angle"])
+        post = docscan.docscan_post_warp_batch_serve(warped, cfg)
+        sync(post["buf"])
         t["postwarp_dev"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        angles = np.asarray(post["deskew_angle"])
-        packed_clean = np.asarray(docscan._pack_bits_jit(post["clean"]))
-        clean = docscan._unpack_bits_host(packed_clean, tw)
+        pbuf = np.asarray(post["buf"])
+        angles = pbuf[:4 * BATCH].copy().view(np.float32)
+        clean = docscan._unpack_bits_host(
+            pbuf[5 * BATCH:].reshape(BATCH, th, -1), tw)
         t["clean_fetch"] = time.perf_counter() - t0
 
         total = sum(t.values())

@@ -203,22 +203,34 @@ def _unpack_bits_host(packed: np.ndarray, w: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("canny_low", "canny_high"))
 def _localize_device_batch_packed(rgbs: jnp.ndarray, canny_low: int,
                                   canny_high: int):
-    """_localize_device_batch with the edge maps bit-packed on device."""
+    """_localize_device_batch with everything flattened into ONE uint8
+    buffer per batch: packed edge bits ++ f32 segments (bitcast) ++ valid
+    mask. One device→host fetch instead of three — each fetch over the
+    axon tunnel pays a full ~35-45 ms round trip regardless of size."""
     edges, segs, ok = jax.vmap(
         lambda im: _localize_device(im, canny_low, canny_high))(rgbs)
-    return _pack_bits_u8(edges), segs, ok
+    b = edges.shape[0]
+    eb = _pack_bits_u8(edges).reshape(b, -1)
+    sb = jax.lax.bitcast_convert_type(segs.astype(jnp.float32),
+                                      jnp.uint8).reshape(b, -1)
+    ob = ok.astype(jnp.uint8)
+    return jnp.concatenate([eb, sb, ob], axis=1)
 
 
 def localize_batch_dev(rgb_dev: jnp.ndarray, config: DocScanConfig) -> list:
     """Batched localize over a DEVICE-RESIDENT same-shape stack: ONE
-    vmapped dispatch for Canny + Hough segments (edge maps bit-packed for
-    the tunnel fetch), then the per-image host contour walk."""
+    vmapped dispatch for Canny + Hough segments (results flattened into a
+    single bit-packed buffer → one tunnel fetch), then the per-image host
+    contour walk."""
     b, h, w = int(rgb_dev.shape[0]), int(rgb_dev.shape[1]), int(rgb_dev.shape[2])
-    packed_d, segs_d, ok_d = _localize_device_batch_packed(
-        rgb_dev, config.canny_low, config.canny_high)
-    packed, segs_b, ok_b = (np.asarray(packed_d), np.asarray(segs_d),
-                            np.asarray(ok_d))
-    edges_b = _unpack_bits_host(packed, w)
+    buf = np.asarray(_localize_device_batch_packed(
+        rgb_dev, config.canny_low, config.canny_high))
+    ne = h * (-(-w // 8))
+    edges_b = _unpack_bits_host(buf[:, :ne].reshape(b, h, -1), w)
+    n_segs = (buf.shape[1] - ne) // 17   # 16 bitcast bytes + 1 valid byte
+    segs_b = buf[:, ne:ne + n_segs * 16].copy().view(np.float32
+                                                     ).reshape(b, n_segs, 4)
+    ok_b = buf[:, ne + n_segs * 16:].astype(bool)
     return [_quad_from_localize(edges_b[i], segs_b[i], ok_b[i],
                                 (h, w), config)
             for i in range(b)]
@@ -432,6 +444,44 @@ def docscan_post_warp_batch(warped_batch: jnp.ndarray, config: DocScanConfig):
             "deskew_overflow": overflows}
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def docscan_post_warp_batch_serve(warped_batch: jnp.ndarray,
+                                  config: DocScanConfig):
+    """Serving form of docscan_post_warp_batch: returns ONLY
+    {packed, clean, deskew_angle, deskew_overflow}. The full-stage form
+    materializes 7 full-resolution stage arrays to HBM per dispatch even
+    when the caller wants just the final page (jit outputs cannot be
+    dead-coded); this one lets XLA drop everything but the clean chain,
+    and fuses the 8-pixels/byte bit-pack of the clean page in-program so
+    the unrotated-page fetch is 1/8th the bytes. The host picks ``packed``
+    (lossless for 0/255 pages) when every deskew angle is 0, ``clean``
+    otherwise (bilinear rotation makes gray pixels)."""
+    out = docscan_post_warp_batch(warped_batch, config)
+    buf = jnp.concatenate([
+        jax.lax.bitcast_convert_type(
+            out["deskew_angle"].astype(jnp.float32), jnp.uint8).reshape(-1),
+        out["deskew_overflow"].astype(jnp.uint8).reshape(-1),
+        _pack_bits_u8(out["clean"]).reshape(-1),
+    ])
+    return {"buf": buf, "clean": out["clean"]}
+
+
+def _post_warp_serve_host(batch: jnp.ndarray, config: DocScanConfig):
+    """Run the serve program and fetch results with ONE tunnel round trip
+    in the no-rotation common case. Returns (clean u8 (b,h,w), angles,
+    overflow)."""
+    b, h, w = (int(batch.shape[0]), int(batch.shape[1]), int(batch.shape[2]))
+    out = docscan_post_warp_batch_serve(batch, config)
+    buf = np.asarray(out["buf"])
+    angles = buf[:4 * b].copy().view(np.float32)
+    oflow = buf[4 * b:5 * b].astype(bool)
+    if angles.any():
+        clean = np.asarray(out["clean"])   # gray pixels: raw second fetch
+    else:
+        clean = _unpack_bits_host(buf[5 * b:].reshape(b, h, -1), w)
+    return clean, angles, oflow
+
+
 # ---------------------------------------------------------------------------
 # host orchestration (the reference process_document contract)
 # ---------------------------------------------------------------------------
@@ -635,18 +685,8 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
                 batch = jnp.concatenate(
                     [batch, jnp.repeat(batch[-1:], rem, axis=0)], axis=0)
             batch = shard_batch(batch, mesh)
-        out = docscan_post_warp_batch(batch, config)
-        # fetch order matters over the tunnel: angles/overflow are bytes;
-        # when no page rotated, clean is strictly 0/255 (threshold + morph
-        # outputs) and fetches bit-packed 8x smaller. Any nonzero angle
-        # means bilinear rotation produced gray pixels → raw fetch.
-        angles = np.asarray(out["deskew_angle"])[:n_real]
-        oflow = np.asarray(out["deskew_overflow"])[:n_real]
-        if not angles.any():
-            clean = _unpack_bits_host(
-                np.asarray(_pack_bits_jit(out["clean"])), shape[1])[:n_real]
-        else:
-            clean = np.asarray(out["clean"])[:n_real]
+        clean, angles, oflow = _post_warp_serve_host(batch, config)
+        clean, oflow = clean[:n_real], oflow[:n_real]
         for j, i in enumerate(idxs):
             out_by_idx[i] = (clean[j], bool(oflow[j]))
     for i, meta in enumerate(metas):
