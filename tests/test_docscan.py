@@ -23,6 +23,26 @@ def doc_result(tmp_path_factory):
                                     config=docscan.GUI_DOCUMENT_CONFIG)
 
 
+class TestPackBits:
+    """The tunnel-transfer bit-pack must round-trip 0/255 maps exactly
+    (scan_batch fetches edge maps and unrotated clean pages packed)."""
+
+    def test_roundtrip_random(self, rng):
+        for shape in ((3, 17, 23), (2, 64, 128), (1, 5, 8)):
+            x = (rng.random(shape) < 0.4).astype(np.uint8) * 255
+            packed = np.asarray(docscan._pack_bits_jit(x))
+            assert packed.shape[-1] == -(-shape[-1] // 8)
+            back = docscan._unpack_bits_host(packed, shape[-1])
+            np.testing.assert_array_equal(back, x)
+
+    def test_nonbinary_values_threshold(self):
+        # any nonzero byte packs to a set bit (matches edges>0 semantics)
+        x = np.asarray([[0, 1, 128, 255, 0, 0, 7, 0, 3]], np.uint8)
+        back = docscan._unpack_bits_host(
+            np.asarray(docscan._pack_bits_jit(x)), 9)
+        np.testing.assert_array_equal(back, (x > 0).astype(np.uint8) * 255)
+
+
 class TestApproxPolyDP:
     """Differential test of the cv2.approxPolyDP reconstruction (VERDICT
     round-1 weak #7): real-image contours, byte-identical for >=98% and
