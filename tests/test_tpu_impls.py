@@ -135,6 +135,34 @@ class TestHoughPallas:
         np.testing.assert_array_equal(a, b)
         assert a.sum() == (edges > 0).sum() * 180  # every edge voted per theta
 
+    @pytest.mark.parametrize("shape,density", [((600, 400), 0.05),
+                                               ((600, 400), 0.2),
+                                               ((853, 640), 0.13)])
+    def test_twostage_compaction_equals_flat(self, rng, shape, density):
+        """The two-stage (int8 local sort + capped int16 merge) compaction
+        must produce the identical coordinate planes, counts, and overflow
+        as the flat full-width sort whenever no group exceeds its cap."""
+        edges = (rng.random(shape) < density).astype(np.uint8) * 255
+        k = min(max(131072, (shape[0] * shape[1] * 3) // 16), 524288)
+        a = hough_mod.band_compact_coords(jnp.asarray(edges), k,
+                                          with_overflow=True, impl="flat")
+        b = hough_mod.band_compact_coords(jnp.asarray(edges), k,
+                                          with_overflow=True, impl="twostage")
+        for x, y in zip(a[:3], b[:3]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert not bool(a[3]) and not bool(b[3])
+
+    def test_twostage_group_cap_overflows_loudly(self):
+        """A dense horizontal stripe packs >cap edges into single groups:
+        the two-stage path must raise its overflow flag (it drops edges
+        the flat path would keep)."""
+        edges = np.zeros((600, 512), np.uint8)
+        edges[:40] = 255
+        b = hough_mod.band_compact_coords(jnp.asarray(edges), 524288,
+                                          with_overflow=True,
+                                          impl="twostage")
+        assert bool(b[3])
+
     def test_pallas_empty_and_single(self):
         edges = np.zeros((40, 64), np.uint8)
         b = np.asarray(hough_mod.hough_accumulator(jnp.asarray(edges), impl="pallas"))

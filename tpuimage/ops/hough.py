@@ -40,24 +40,41 @@ from tpuimage.core.dtypes import f32, i32
 _LO_BINS = 64
 
 
+_GROUP = 128         # columns per local-sort group in the two-stage path
+_GROUP_CAP = 64      # group-front slots carried into the merge sort
+
+
 def band_compact_coords(edges: jnp.ndarray, max_edges: int,
-                        with_overflow: bool = False):
+                        with_overflow: bool = False, impl: str = "auto"):
     """Banded edge compaction for the Pallas vote kernel: band b holds the
     edges with flat_idx % 128 == b, packed to the front.
 
-    with_overflow=True appends a scalar bool: True when ANY band's true
-    edge count exceeded its budget kk (votes would silently be missing the
-    dropped edges) — the runtime guard of round-2 VERDICT item 6.
+    with_overflow=True appends a scalar bool: True when edges were dropped
+    (votes would silently be missing them) — the runtime guard of round-2
+    VERDICT item 6.
 
-    Implementation: a single-array sort of packed keys
-    ``(edge << bits) | (N-1-idx)`` — ascending sort puts edges at the tail
-    with in-band index ascending; slice + reverse recovers them. Measured
-    ~5x faster than the earlier values+indices co-sorting ``top_k`` on v5e
-    (1.1 vs 5.0 ms at batch 8, A4 pages): half the bytes through the sort
-    network and no payload co-movement. Over-budget bands drop their
-    largest-index edges, matching the old top_k tie order (only possible
-    when >kk edges share one flat_idx mod 128 — NMS-thinned Canny maps
-    measured 2-13% dense stay far below the 18.75% default budget).
+    Two implementations (identical outputs within budget; tests cross-check):
+
+    - ``flat``: one sort of packed int16 keys ``(edge << bits) | (N-1-idx)``
+      over the full (128, N) band matrix — ascending sort puts edges at the
+      tail with in-band index ascending. ~5x faster than the earlier
+      values+indices co-sorting ``top_k`` (half the bytes, no payload), but
+      the bitonic network still moves bytes × ~k(k+1)/2 passes: 3.0 ms of
+      the batch-8 A4 fused program (micro_compact.py) — nearly all of it
+      the sort itself.
+    - ``twostage`` (default on TPU for large N): (1) int8 local sorts
+      within 128-column groups — key ``(edge << 7) | (127 - local_idx)``,
+      sort width 128 → 28 bitonic passes on HALF the bytes (vs 91 full-
+      width int16 passes); (2) keep each group's first _GROUP_CAP slots
+      (real Canny densities are 2-13%, so ~6-16 edges per 128-slot group;
+      cap 64 = 50% local density — binomial tails at the measured 2-13% Canny
+      densities never reach it) and merge-sort the (128, groups*cap)
+      int16 global keys — a ~4x narrower sort. Groups denser than the cap
+      drop their largest-local-index edges and raise the overflow flag
+      (the per-band budget check still applies on top).
+
+    Over-budget bands drop their largest-index edges, matching the old
+    top_k tie order.
 
     Returns (xs_t, ys_t, counts): (kb, 128) float32 transposed coordinate
     planes (invalid slots poisoned — see hough_votes_pallas) and per-band
@@ -72,36 +89,93 @@ def band_compact_coords(edges: jnp.ndarray, max_edges: int,
     kk = min(max(1, max_edges // _HOUGH_BANDS), n_over_b)  # per-band budget
     kb = kk + (-kk) % _HOUGH_ROWS                          # row-chunk pad
     n_bits = max((n_over_b - 1).bit_length(), 1)
-    flag_mask = (1 << n_bits) - 1
-    # 16-bit keys when flag+index fit 15 bits (images up to ~2 MP with 128
-    # bands): halves the bytes through the bitonic sort network — measured
-    # ~2x on the A4-page compaction vs int32 keys
-    key_dtype = jnp.int16 if n_bits + 1 <= 15 else jnp.int32
-    e = (edges.reshape(-1) > 0).astype(key_dtype)
+    if impl == "auto":
+        # two-stage pays off when the merge width shrinks the sort a lot
+        # AND the int16 key fits (flag + 13-bit index); tiny images keep
+        # the flat path (local-sort padding would dominate)
+        n_groups = -(-n_over_b // _GROUP)
+        impl = ("twostage"
+                if (n_bits + 1 <= 15 and n_over_b >= 4 * _GROUP
+                    and n_groups * _GROUP_CAP < n_over_b)
+                else "flat")
+    e = (edges.reshape(-1) > 0)
     m = jnp.pad(e, (0, n_over_b * _HOUGH_BANDS - n)
-                ).reshape(n_over_b, _HOUGH_BANDS).T        # (128, N)
-    rev = ((n_over_b - 1) - jnp.arange(n_over_b, dtype=jnp.int32)[None, :]
-           ).astype(key_dtype)
-    key = (m << n_bits) | rev
-    s = lax.sort(key, dimension=1, is_stable=False)
-    top = s[:, n_over_b - kk:][:, ::-1].astype(jnp.int32)  # (128, kk)
-    validb = top >> n_bits                                 # 0/1
-    counts = validb.sum(axis=1)
-    ci = (n_over_b - 1) - (top & flag_mask)                # in-band index
+                ).reshape(n_over_b, _HOUGH_BANDS).T        # (128, N) bool
+
+    if impl == "twostage":
+        n_groups = -(-n_over_b // _GROUP)
+        npad = n_groups * _GROUP - n_over_b
+        mg = jnp.pad(m, ((0, 0), (0, npad))).reshape(
+            _HOUGH_BANDS, n_groups, _GROUP)
+        # stage 1: int8 local sort. The edge flag in bit 7 makes edge keys
+        # NEGATIVE (int8), so ascending sort puts edges at the group FRONT,
+        # ordered by ascending local index (key = 0x80 | lci). The sort
+        # MUST run on a 2-D operand: the same keys shaped (B, G, 128) sort
+        # 18x slower on TPU (0.99 vs 17.9 ms at batch 8 — XLA's sort
+        # lowering degrades with extra batch dims).
+        lidx = jnp.arange(_GROUP, dtype=jnp.int32).astype(jnp.int8)
+        lkey = jnp.where(mg, jnp.int8(-128) | lidx, lidx)
+        ls = lax.sort(lkey.reshape(_HOUGH_BANDS * n_groups, _GROUP),
+                      dimension=1, is_stable=False)
+        front = ls.reshape(_HOUGH_BANDS, n_groups,
+                           _GROUP)[:, :, :_GROUP_CAP]       # (B, G, CAP)
+        lvalid = (front < 0).astype(jnp.int32)
+        lci = front.astype(jnp.int32) & 127                 # local idx
+        # stage 2: int16 merge over the group fronts with global keys.
+        # max grev = round_up(n_over_b, 128) - 1 <= 2^n_bits - 1 because
+        # 2^n_bits >= n_over_b and is divisible by 128 here (n_bits >= 9).
+        gbase = (jnp.arange(n_groups, dtype=jnp.int32) * _GROUP)[None, :, None]
+        gci = gbase + lci                                   # global in-band idx
+        grev = (n_groups * _GROUP - 1) - gci
+        gkey = ((lvalid << n_bits) | grev).astype(jnp.int16)
+        gs = lax.sort(gkey.reshape(_HOUGH_BANDS, n_groups * _GROUP_CAP),
+                      dimension=1, is_stable=False)
+        kk2 = min(kk, n_groups * _GROUP_CAP)
+        top = gs[:, gs.shape[1] - kk2:][:, ::-1].astype(jnp.int32)
+        validb = (top >> n_bits) & 1
+        counts = validb.sum(axis=1)
+        flag_mask = (1 << n_bits) - 1
+        ci = (n_groups * _GROUP - 1) - (top & flag_mask)
+        if kk2 < kk:
+            pad_cols = kk - kk2
+            validb = jnp.pad(validb, ((0, 0), (0, pad_cols)))
+            ci = jnp.pad(ci, ((0, 0), (0, pad_cols)))
+        # overflow: any group denser than the cap, or any band over budget
+        gcounts = mg.astype(jnp.int32).sum(axis=2)          # (B, G)
+        true_counts = gcounts.sum(axis=1)
+        overflow = (jnp.any(gcounts > _GROUP_CAP)
+                    | jnp.any(true_counts > kk))
+    else:
+        flag_mask = (1 << n_bits) - 1
+        # 16-bit keys when flag+index fit 15 bits (images up to ~2 MP with
+        # 128 bands): halves the bytes through the bitonic sort network —
+        # measured ~2x on the A4-page compaction vs int32 keys
+        key_dtype = jnp.int16 if n_bits + 1 <= 15 else jnp.int32
+        rev = ((n_over_b - 1) - jnp.arange(n_over_b, dtype=jnp.int32)[None, :]
+               ).astype(key_dtype)
+        key = (m.astype(key_dtype) << n_bits) | rev
+        s = lax.sort(key, dimension=1, is_stable=False)
+        top = s[:, n_over_b - kk:][:, ::-1].astype(jnp.int32)  # (128, kk)
+        validb = top >> n_bits                                 # 0/1
+        counts = validb.sum(axis=1)
+        ci = (n_over_b - 1) - (top & flag_mask)                # in-band index
+        true_counts = m.astype(jnp.int32).sum(axis=1)
+        overflow = jnp.any(true_counts > kk)
+
     band = jnp.arange(_HOUGH_BANDS, dtype=jnp.int32)[:, None]
     gi = ci * _HOUGH_BANDS + band                          # flat image index
     ok = validb > 0
     xs = jnp.where(ok, (gi % w).astype(jnp.float32), HOUGH_POISON_X)
     ys = jnp.where(ok, (gi // w).astype(jnp.float32), HOUGH_POISON_Y)
     xs_t, ys_t = xs.T, ys.T                                # (kk, 128)
-    if kb > kk:
-        xs_t = jnp.pad(xs_t, ((0, kb - kk), (0, 0)),
+    if kb > xs_t.shape[0]:
+        padn = kb - xs_t.shape[0]
+        xs_t = jnp.pad(xs_t, ((0, padn), (0, 0)),
                        constant_values=HOUGH_POISON_X)
-        ys_t = jnp.pad(ys_t, ((0, kb - kk), (0, 0)),
+        ys_t = jnp.pad(ys_t, ((0, padn), (0, 0)),
                        constant_values=HOUGH_POISON_Y)
     if with_overflow:
-        true_counts = m.astype(jnp.int32).sum(axis=1)      # pre-truncation
-        return xs_t, ys_t, counts, jnp.any(true_counts > kk)
+        return xs_t, ys_t, counts, overflow
     return xs_t, ys_t, counts
 
 
