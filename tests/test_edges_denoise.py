@@ -60,6 +60,18 @@ class TestCanny:
         mine = np.asarray(edges.canny(gray, 40, 120))
         assert np.mean(ref == mine) > 0.98
 
+    def test_hysteresis_impls_identical(self, doc_gray, gray):
+        # both growth schedules reach the same weak-reachability fixpoint
+        for img, lo, hi in [(doc_gray, 50, 150), (doc_gray, 30, 100),
+                            (gray, 40, 120)]:
+            a = np.asarray(edges.canny(img, lo, hi, impl="dilate"))
+            b = np.asarray(edges.canny(img, lo, hi, impl="linescan"))
+            assert np.array_equal(a, b)
+
+    def test_canny_bad_impl(self, gray):
+        with pytest.raises(ValueError):
+            edges.canny(gray, 40, 120, impl="bogus")
+
 
 class TestBilateral:
     @pytest.mark.parametrize("d,sc,ss", [(9, 75, 75), (5, 20, 20), (-1, 30, 10)])
