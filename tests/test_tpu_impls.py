@@ -135,6 +135,42 @@ class TestHoughPallas:
         np.testing.assert_array_equal(a, b)
         assert a.sum() == (edges > 0).sum() * 180  # every edge voted per theta
 
+    @pytest.mark.parametrize("with_wins", [False, True])
+    def test_theta_pack2_equals_grid(self, rng, with_wins):
+        """theta_pack=2 (two thetas per MXU dot, off-diagonal cross blocks
+        discarded) must produce identical counts to the per-theta grid
+        path, with and without per-theta rho windows."""
+        from tpuimage.ops.pallas_kernels import hough_votes_pallas, _HOUGH_LO
+        h, w = 240, 320
+        edges = (rng.random((h, w)) < 0.1).astype(np.uint8) * 255
+        xs_t, ys_t, counts = hough_mod.band_compact_coords(
+            jnp.asarray(edges), h * w)
+        numrho = (h + w) * 2 + 1
+        c_mid = (numrho - 1) // 2
+        rho_base = max(c_mid - (w - 1) - 1, 0)
+        rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, h - 1))) + 1,
+                     numrho - 1)
+        kw = dict(numrho=numrho, rho_base=rho_base,
+                  rho_bins=rho_hi - rho_base + 1, interpret=True,
+                  theta_inner="grid")
+        if with_wins:
+            th = np.arange(180) * (np.pi / 180)
+            ct, st = np.cos(th), np.sin(th)
+            gmin = np.clip(np.floor((w - 1) * np.minimum(ct, 0.0)) - 1
+                           + c_mid - rho_base, 0, kw["rho_bins"] - 1)
+            gmax = np.clip(np.ceil((w - 1) * np.maximum(ct, 0.0)
+                                   + (h - 1) * st) + 1
+                           + c_mid - rho_base, 0, kw["rho_bins"] - 1)
+            win0 = (gmin.astype(np.int64)) // _HOUGH_LO
+            span = int((gmax.astype(np.int64) // _HOUGH_LO + 1 - win0).max())
+            gb = (kw["rho_bins"] + _HOUGH_LO - 1) // _HOUGH_LO
+            win0 = np.minimum(win0, gb - span)
+            kw.update(theta_wins=tuple(int(v) for v in win0), win_hi=span)
+        a = np.asarray(hough_votes_pallas(xs_t, ys_t, counts, **kw))
+        b = np.asarray(hough_votes_pallas(xs_t, ys_t, counts,
+                                          theta_pack=2, **kw))
+        np.testing.assert_array_equal(a, b)
+
     @pytest.mark.parametrize("shape,density", [((600, 400), 0.05),
                                                ((600, 400), 0.2),
                                                ((853, 640), 0.13)])

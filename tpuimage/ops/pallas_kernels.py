@@ -296,28 +296,28 @@ def _make_hough_kernel(n_hi: int, nbins: int,
 
     acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
 
-    def make_accumulate_theta(pipelined: bool):
-        def build(c, ct, st, rs, xs_ref, ys_ref):
-            # x/y arrive precomputed (poisoned for invalid slots — see
-            # hough_votes_pallas docstring): 2 FMAs + round per edge, then
-            # the two iota compares (the dominant VPU cost). rs is the
-            # (possibly per-theta, see theta_wins) bin re-base shift.
-            x = xs_ref[pl.ds(c * rows, rows), :]
-            y = ys_ref[pl.ds(c * rows, rows), :]
-            r = (jnp.round(x * ct + y * st).astype(jnp.int32) + rs
-                 ).reshape(1, chunk)
-            if shift is not None:
-                hi = jax.lax.shift_right_arithmetic(r, shift)
-                lo = jax.lax.bitwise_and(r, lo_bins - 1)
-            else:
-                hi = r // lo_bins
-                lo = r % lo_bins
-            ohT_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (n_hi, chunk), 0)
-                      ).astype(mxu_dtype)
-            ohT_lo = (lo == jax.lax.broadcasted_iota(jnp.int32, (lo_bins, chunk), 0)
-                      ).astype(mxu_dtype)
-            return ohT_hi, ohT_lo
+    def build(c, ct, st, rs, xs_ref, ys_ref):
+        # x/y arrive precomputed (poisoned for invalid slots — see
+        # hough_votes_pallas docstring): 2 FMAs + round per edge, then
+        # the two iota compares (the dominant VPU cost). rs is the
+        # (possibly per-theta, see theta_wins) bin re-base shift.
+        x = xs_ref[pl.ds(c * rows, rows), :]
+        y = ys_ref[pl.ds(c * rows, rows), :]
+        r = (jnp.round(x * ct + y * st).astype(jnp.int32) + rs
+             ).reshape(1, chunk)
+        if shift is not None:
+            hi = jax.lax.shift_right_arithmetic(r, shift)
+            lo = jax.lax.bitwise_and(r, lo_bins - 1)
+        else:
+            hi = r // lo_bins
+            lo = r % lo_bins
+        ohT_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (n_hi, chunk), 0)
+                  ).astype(mxu_dtype)
+        ohT_lo = (lo == jax.lax.broadcasted_iota(jnp.int32, (lo_bins, chunk), 0)
+                  ).astype(mxu_dtype)
+        return ohT_hi, ohT_lo
 
+    def make_accumulate_theta(pipelined: bool):
         def dot_acc(acc_ref, ohT_hi, ohT_lo):
             a, b = (ohT_lo, ohT_hi) if swap_mn else (ohT_hi, ohT_lo)
             acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
@@ -357,6 +357,38 @@ def _make_hough_kernel(n_hi: int, nbins: int,
                          xs_ref, ys_ref, acc_ref)
         out_ref[:] = acc_ref[:].reshape((1,) + acc_shape)
 
+    def kernel_pack2(nt_ref, ct_ref, st_ref, rs_ref, xs_ref, ys_ref,
+                     out_ref, acc_ref):
+        # TWO thetas per dot: stack both hi one-hots in M (2*n_hi rows) and
+        # both lo one-hots in N (2*lo_bins cols). The MXU streams K cycles
+        # per 128x128 output tile regardless of how few cells are useful,
+        # so one (2*n_hi, 2*lo) dot costs the same tile passes as ONE
+        # (n_hi, lo) dot while covering two thetas — the off-diagonal
+        # blocks (theta_i hi x theta_j lo, i != j) are garbage cross
+        # counts and are never read. Requires 2*n_hi <= 128 and
+        # 2*lo_bins <= 128 to stay inside one tile (asserted by caller).
+        # Bonus: 2*n_hi is 16-aligned where the bf16 (n_hi, chunk) operand
+        # was sublane-misaligned for odd-ish n_hi.
+        t = pl.program_id(0)
+        acc_ref[:] = jnp.zeros((2 * n_hi, 2 * lo_bins), acc_dtype)
+
+        def body(c, _):
+            h1, l1 = build(c, ct_ref[2 * t, 0], st_ref[2 * t, 0],
+                           rs_ref[2 * t, 0], xs_ref, ys_ref)
+            h2, l2 = build(c, ct_ref[2 * t + 1, 0], st_ref[2 * t + 1, 0],
+                           rs_ref[2 * t + 1, 0], xs_ref, ys_ref)
+            hh = jnp.concatenate([h1, h2], axis=0)
+            ll = jnp.concatenate([l1, l2], axis=0)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                hh, ll, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc_dtype)
+            return 0
+
+        jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
+        a = acc_ref[:]
+        out_ref[0] = a[:n_hi, :lo_bins]
+        out_ref[1] = a[n_hi:, lo_bins:]
+
     def kernel_inner(nt_ref, ct_ref, st_ref, rs_ref, xs_ref, ys_ref,
                      out_ref, acc_ref):
         # all theta bins in ONE grid step (fori inside): for small edge
@@ -373,7 +405,7 @@ def _make_hough_kernel(n_hi: int, nbins: int,
 
         jax.lax.fori_loop(0, n_t, tloop, 0)
 
-    return kernel, kernel_inner
+    return kernel, kernel_inner, kernel_pack2
 
 
 # Poison coordinates for invalid edge slots: r = x cos(t) + y sin(t) lands
@@ -397,7 +429,8 @@ _THETA_INNER_MAX_KB = 128
                                              "rho_bins", "mxu", "rows",
                                              "swap_mn", "lo_bins",
                                              "theta_inner", "pipelined",
-                                             "theta_wins", "win_hi"))
+                                             "theta_wins", "win_hi",
+                                             "theta_pack"))
 def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        counts: jnp.ndarray, numrho: int,
                        theta_bins: int = 180,
@@ -408,7 +441,8 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        lo_bins: int = _HOUGH_LO,
                        theta_inner: str = "auto",
                        pipelined: bool = False,
-                       theta_wins=None, win_hi: int = 0) -> jnp.ndarray:
+                       theta_wins=None, win_hi: int = 0,
+                       theta_pack: int = 1) -> jnp.ndarray:
     """(numrho, theta_bins) int32 vote accumulator over a band-compacted
     edge list — the Pallas production path of ops.hough.hough_accumulator
     (identical counts: same f32 round, same one-hot matmul contraction).
@@ -473,11 +507,9 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     n_trips = ((jnp.max(counts) + rows - 1) // rows
                ).astype(jnp.int32).reshape(1, 1)
 
-    kernel, kernel_inner = _make_hough_kernel(n_hi, rho_bins,
-                                              mxu_dtype, acc_dtype, rows,
-                                              swap_mn, lo_bins,
-                                              n_chunks=kb // rows,
-                                              pipelined=pipelined)
+    kernel, kernel_inner, kernel_pack2 = _make_hough_kernel(
+        n_hi, rho_bins, mxu_dtype, acc_dtype, rows, swap_mn, lo_bins,
+        n_chunks=kb // rows, pipelined=pipelined)
     acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
 
     def unpack(votes):
@@ -507,6 +539,35 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
         return v.T
     if theta_inner == "auto":
         theta_inner = "inner" if kb <= _THETA_INNER_MAX_KB else "grid"
+    if theta_pack == 2 and theta_inner == "grid":
+        assert not swap_mn and not pipelined, \
+            "theta_pack=2 supports only the default serial orientation"
+        assert theta_bins % 2 == 0 and 2 * n_hi <= 128 and 2 * lo_bins <= 128
+        votes = pl.pallas_call(
+            kernel_pack2,
+            grid=(theta_bins // 2,),
+            out_shape=jax.ShapeDtypeStruct((theta_bins,) + acc_shape,
+                                           acc_dtype),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda t: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((theta_bins, 1), lambda t: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((theta_bins, 1), lambda t: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((theta_bins, 1), lambda t: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((kb, _HOUGH_BANDS), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kb, _HOUGH_BANDS), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((2,) + acc_shape, lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((2 * n_hi, 2 * lo_bins), acc_dtype)],
+            interpret=interpret,
+        )(n_trips, cos_t, sin_t, rs_t, xs_t, ys_t)
+        return unpack(votes)
     if theta_inner == "inner":
         votes = pl.pallas_call(
             kernel_inner,
