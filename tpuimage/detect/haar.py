@@ -7,18 +7,23 @@ and classification.py:52-57 / AI_classification.py:120-127
 minSize 40x40). Note this image's cv2 build (5.0) has dropped
 CascadeClassifier entirely — this module is the only working detector.
 
-Evaluation strategy (SURVEY.md §7 hard part 2; round-3 batch rewrite):
-ALL windows of ALL pyramid levels of ALL images in a call join one
-concatenated alive set — each window carries the flat offset of its own
-integral image plus that level's row stride, so every feature rect is 4
-gathers regardless of scale — and the cascade's ~22-stage loop runs ONCE
-per call with stage-wise compaction of the alive set (early stages kill
->95% of windows, matching OpenCV's sequential early-exit profile without
-any per-window or per-scale Python loop; measured 10.6x faster than the
-round-2 per-(image, scale) evaluation on the 11-image classify sweep).
-This runs on host: detection is a routing step, windows shrink
-dynamically (TPU-hostile shapes), and the arithmetic is integer-exact.
-Rect clustering is the same groupRectangles algorithm as OpenCV.
+Evaluation strategy (SURVEY.md §7 hard part 2; round-3 batch rewrite,
+two-phase since the multi-image pathology fix): each window carries the
+flat offset of its own integral image plus that level's row stride, so
+every feature rect is 4 gathers regardless of scale. Phase 1 runs the
+variance norm + first 6 (bulk-killer) stages per pyramid LEVEL — the
+huge early window sets stay level-local, bounding every temp array
+(pooling the whole batch's windows made every temp O(total windows);
+measured 2-10x slower than a per-image loop on >1 MP images from
+large-allocation page churn alone). Phase 2 pools each IMAGE's ~3-7%
+survivors across all its levels and runs the remaining ~16 stages once
+per image — the regime where the round-2 per-(image, scale) loop paid
+n_levels * n_stages tiny numpy dispatches. Batch-of-11 sweep: old
+single-pool 150-270 s, two-phase 23 s, == the per-image serial loop,
+with identical candidates. This runs on host: detection is a routing
+step, windows shrink dynamically (TPU-hostile shapes), and the
+arithmetic is integer-exact. Rect clustering is the same
+groupRectangles algorithm as OpenCV.
 
 Cascade XMLs are the stock OpenCV data files (found on this system under
 /usr/share/opencv4/haarcascades); the parser reads the new
@@ -197,14 +202,72 @@ def detect_multi_scale_batch(grays, cascade_name: str,
     """
     casc = load_cascade(cascade_name)
     wh, ww = casc.win_h, casc.win_w
+    R = casc.rects  # (F, 3, 5)
 
-    ii_parts: List[np.ndarray] = []
-    sq_parts: List[np.ndarray] = []
-    base_parts: List[np.ndarray] = []       # flat origin + cumulative offset
-    stride_parts: List[np.ndarray] = []     # per-window row stride
-    meta_parts: List[np.ndarray] = []       # (img, x_out, y_out, win_w, win_h)
-    offset = 0
+    def rect_sum(flat, off, st, rx, ry, rw, rh):
+        o = off + ry * st + rx
+        return (flat[o + rh * st + rw] - flat[o + rw]
+                - flat[o + rh * st] + flat[o])
+
+    def run_stages(flat, alive, strd, nf_a, s_from, s_to):
+        """Evaluate cascade stages [s_from, s_to); returns the survivor
+        boolean keep-masks stagewise-compacted into one index array."""
+        idx = np.arange(len(alive), dtype=np.int64)
+        for (s0, s1), sthr in list(zip(casc.stage_slices,
+                                       casc.stage_thresholds))[s_from:s_to]:
+            if len(idx) == 0:
+                break
+            a, st_, nf_ = alive[idx], strd[idx], nf_a[idx]
+            ssum = np.zeros(len(idx), dtype=np.float64)
+            for wci in range(s0, s1):
+                fi = int(casc.feat_idx[wci])
+                val = np.zeros(len(idx), dtype=np.float64)
+                for (rx, ry, rw, rh, wt) in R[fi]:
+                    if wt == 0.0:
+                        continue
+                    val += wt * rect_sum(flat, a, st_,
+                                         int(rx), int(ry), int(rw), int(rh))
+                ssum += np.where(val < casc.node_thr[wci] * nf_,
+                                 casc.leaves[wci, 0], casc.leaves[wci, 1])
+            idx = idx[ssum >= sthr]
+        return idx
+
+    # Two-phase evaluation. Phase 1 runs the variance normalization and the
+    # first few (bulk-killer) stages per PYRAMID LEVEL, while that level's
+    # integral image and window arrays are the only live allocations: the
+    # early stages see the huge window sets (a 1280x963 image opens ~1.5M
+    # windows), and evaluating them over the whole batch's concatenation
+    # made every temp array O(total windows) — measured 2-4x SLOWER than a
+    # per-image loop on this host (large-allocation page management, not
+    # algorithmic work). Per-level temps are bounded by one level's window
+    # count, and the level sets are big enough that numpy dispatch overhead
+    # stays negligible. Phase 2 pools the ~3-7% survivors from all images
+    # and levels and runs the remaining ~19 stages ONCE over the pooled set
+    # — the regime where per-(image, level) looping was dispatch-dominated
+    # (alive sets shrink to a few hundred windows; the round-2 per-scale
+    # code paid ~n_levels * n_stages tiny numpy calls there).
+    n_stages = len(casc.stage_slices)
+    phase1 = min(6, n_stages)
+
+    results: List[List[Tuple[int, int, int, int]]] = [[] for _ in grays]
+    nw_, nh_ = ww - 2, wh - 2
+    area = float(nw_ * nh_)
     for img_idx, gray in enumerate(grays):
+        # phase-2 pooling is per IMAGE (its ~n_levels survivor sets join one
+        # array; no cross-image concatenation): pooling the whole batch's
+        # integral pyramids into one flat array (~57 MB/megapixel-image)
+        # was measured slower than this per-image loop on large images —
+        # the survivors' gathers and the concat copy churn hundreds of MB
+        # of fresh pages. Per-image keeps every allocation bounded by one
+        # pyramid while still amortizing the cascade tail over all levels.
+        ii_parts: List[np.ndarray] = []     # sq is level-local only: the
+                                            # variance norm completes in
+                                            # phase 1, so sqf is never pooled
+        alive_parts: List[np.ndarray] = []  # survivors' flat origin + offset
+        stride_parts: List[np.ndarray] = []
+        nf_parts: List[np.ndarray] = []
+        meta_parts: List[np.ndarray] = []   # (x_out, y_out, win_w, win_h)
+        offset = 0
         gray = np.asarray(gray)
         H, W = gray.shape
         factor = 1.0
@@ -225,70 +288,48 @@ def detect_multi_scale_batch(grays, cascade_name: str,
             sq = np.zeros((sh + 1, sw + 1), dtype=np.float64)
             np.cumsum(np.cumsum(x, 0), 1, out=ii[1:, 1:])
             np.cumsum(np.cumsum(x * x, 0), 1, out=sq[1:, 1:])
+            iif, sqf = ii.ravel(), sq.ravel()
             stride = sw + 1
             oh, ow = sh - wh + 1, sw - ww + 1
             step = 1 if factor > 2.0 else 2
             oy, ox = np.mgrid[0:oh:step, 0:ow:step]
             base = (oy * stride + ox).ravel()
-            k = len(base)
-            ii_parts.append(ii.ravel())
-            sq_parts.append(sq.ravel())
-            base_parts.append(base + offset)
-            stride_parts.append(np.full(k, stride, dtype=np.int64))
-            meta = np.empty((k, 5), dtype=np.int64)
-            meta[:, 0] = img_idx
-            meta[:, 1] = np.rint(ox.ravel() * factor)
-            meta[:, 2] = np.rint(oy.ravel() * factor)
-            meta[:, 3] = win_w
-            meta[:, 4] = win_h
-            meta_parts.append(meta)
+
+            # variance normalization over normrect (1,1,w-2,h-2) like
+            # HaarEvaluator, then the phase-1 stages — all level-local
+            strd_l = np.full(len(base), stride, dtype=np.int64)
+            vsum = rect_sum(iif, base, strd_l, 1, 1, nw_, nh_)
+            vsq = rect_sum(sqf, base, strd_l, 1, 1, nw_, nh_)
+            nf2 = vsq * area - vsum * vsum
+            nf = np.sqrt(np.maximum(nf2, 0.0))
+            keep = np.flatnonzero(nf2 > 0)
+            surv = keep[run_stages(iif, base[keep], strd_l[keep], nf[keep],
+                                   0, phase1)]
+            ii_parts.append(iif)
+            if len(surv):
+                alive_parts.append(base[surv] + offset)
+                stride_parts.append(strd_l[surv])
+                nf_parts.append(nf[surv])
+                meta = np.empty((len(surv), 4), dtype=np.int64)
+                meta[:, 0] = np.rint(ox.ravel()[surv] * factor)
+                meta[:, 1] = np.rint(oy.ravel()[surv] * factor)
+                meta[:, 2] = win_w
+                meta[:, 3] = win_h
+                meta_parts.append(meta)
             offset += ii.size
             factor *= scale_factor
 
-    results: List[List[Tuple[int, int, int, int]]] = [[] for _ in grays]
-    if not base_parts:
-        return results
-    iif = np.concatenate(ii_parts)
-    sqf = np.concatenate(sq_parts)
-    alive = np.concatenate(base_parts)
-    strd = np.concatenate(stride_parts)
-    meta = np.concatenate(meta_parts)
+        if not alive_parts:
+            continue
+        iif = np.concatenate(ii_parts)
+        alive = np.concatenate(alive_parts)
+        strd = np.concatenate(stride_parts)
+        nf_a = np.concatenate(nf_parts)
+        meta = np.concatenate(meta_parts)
 
-    def rect_sum(flat, off, st, rx, ry, rw, rh):
-        o = off + ry * st + rx
-        return (flat[o + rh * st + rw] - flat[o + rw]
-                - flat[o + rh * st] + flat[o])
-
-    # variance normalization over normrect (1,1,w-2,h-2) like HaarEvaluator
-    nw_, nh_ = ww - 2, wh - 2
-    area = float(nw_ * nh_)
-    vsum = rect_sum(iif, alive, strd, 1, 1, nw_, nh_)
-    vsq = rect_sum(sqf, alive, strd, 1, 1, nw_, nh_)
-    nf2 = vsq * area - vsum * vsum
-    nf = np.sqrt(np.maximum(nf2, 0.0))
-    keep = nf2 > 0
-    alive, strd, meta, nf_a = alive[keep], strd[keep], meta[keep], nf[keep]
-
-    R = casc.rects  # (F, 3, 5)
-    for (s0, s1), sthr in zip(casc.stage_slices, casc.stage_thresholds):
-        if len(alive) == 0:
-            break
-        ssum = np.zeros(len(alive), dtype=np.float64)
-        for wci in range(s0, s1):
-            fi = int(casc.feat_idx[wci])
-            val = np.zeros(len(alive), dtype=np.float64)
-            for (rx, ry, rw, rh, wt) in R[fi]:
-                if wt == 0.0:
-                    continue
-                val += wt * rect_sum(iif, alive, strd,
-                                     int(rx), int(ry), int(rw), int(rh))
-            ssum += np.where(val < casc.node_thr[wci] * nf_a,
-                             casc.leaves[wci, 0], casc.leaves[wci, 1])
-        keep = ssum >= sthr
-        alive, strd, meta, nf_a = alive[keep], strd[keep], meta[keep], nf_a[keep]
-
-    for img_idx, x, y, w_, h_ in meta:
-        results[img_idx].append((int(x), int(y), int(w_), int(h_)))
+        surv = run_stages(iif, alive, strd, nf_a, phase1, n_stages)
+        for x, y, w_, h_ in meta[surv]:
+            results[img_idx].append((int(x), int(y), int(w_), int(h_)))
     return [_group_rectangles(cands, min_neighbors) for cands in results]
 
 
