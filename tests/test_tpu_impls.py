@@ -188,6 +188,26 @@ class TestHoughPallas:
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
         assert not bool(a[3]) and not bool(b[3])
 
+    @pytest.mark.parametrize("shape,density", [((600, 400), 0.05),
+                                               ((600, 400), 0.2),
+                                               ((853, 640), 0.13)])
+    def test_rank_compaction_equals_flat(self, rng, shape, density):
+        """The sort-free rank extraction (cumsum + Pallas masked sums) must
+        produce identical coordinate planes, counts, and overflow to the
+        flat sort at any density — including over-budget drops."""
+        edges = (rng.random(shape) < density).astype(np.uint8) * 255
+        for k in (min(max(131072, (shape[0] * shape[1] * 3) // 16), 524288),
+                  128 * 64):  # default budget + a deliberately tight one
+            a = hough_mod.band_compact_coords(jnp.asarray(edges), k,
+                                              with_overflow=True,
+                                              impl="flat")
+            b = hough_mod.band_compact_coords(jnp.asarray(edges), k,
+                                              with_overflow=True,
+                                              impl="rank")
+            for x, y in zip(a[:3], b[:3]):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+            assert bool(a[3]) == bool(b[3])
+
     def test_twostage_group_cap_overflows_loudly(self):
         """A dense horizontal stripe packs >cap edges into single groups:
         the two-stage path must raise its overflow flag (it drops edges

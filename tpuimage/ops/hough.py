@@ -99,6 +99,43 @@ def band_compact_coords(edges: jnp.ndarray, max_edges: int,
                     and n_groups * _GROUP_CAP < n_over_b)
                 else "flat")
     e = (edges.reshape(-1) > 0)
+
+    if impl == "rank":
+        # sort-free: exclusive per-band rank (cumsum) + Pallas masked-sum
+        # extraction (rank_extract_pallas). Identical outputs/overflow
+        # semantics to "flat" (lowest-index edges kept); tests cross-check.
+        from tpuimage.ops.pallas_kernels import (rank_extract_pallas,
+                                                 _RANK_PSLAB)
+        n_pad = n_over_b + (-n_over_b) % _RANK_PSLAB
+        plane = jnp.pad(e, (0, n_pad * _HOUGH_BANDS - n)
+                        ).reshape(n_pad, _HOUGH_BANDS)     # position-major
+        pi = plane.astype(jnp.int32)
+        csum = jnp.cumsum(pi, axis=0)
+        rank = csum - pi                                   # exclusive
+        counts_true = csum[-1]                             # (128,)
+        counts = jnp.minimum(counts_true, kk)
+        overflow = jnp.any(counts_true > kk)
+        on_tpu = jax.default_backend() not in ("cpu",)
+        ci_t = rank_extract_pallas(rank, plane, kk,
+                                   interpret=not on_tpu)   # (kk, 128)
+        band_t = jnp.arange(_HOUGH_BANDS, dtype=jnp.int32)[None, :]
+        gi_t = ci_t * _HOUGH_BANDS + band_t
+        ok_t = (jnp.arange(kk, dtype=jnp.int32)[:, None] < counts[None, :])
+        from tpuimage.ops.pallas_kernels import (HOUGH_POISON_X,
+                                                 HOUGH_POISON_Y)
+        xs_t = jnp.where(ok_t, (gi_t % w).astype(jnp.float32),
+                         HOUGH_POISON_X)
+        ys_t = jnp.where(ok_t, (gi_t // w).astype(jnp.float32),
+                         HOUGH_POISON_Y)
+        if kb > kk:
+            xs_t = jnp.pad(xs_t, ((0, kb - kk), (0, 0)),
+                           constant_values=HOUGH_POISON_X)
+            ys_t = jnp.pad(ys_t, ((0, kb - kk), (0, 0)),
+                           constant_values=HOUGH_POISON_Y)
+        if with_overflow:
+            return xs_t, ys_t, counts, overflow
+        return xs_t, ys_t, counts
+
     m = jnp.pad(e, (0, n_over_b * _HOUGH_BANDS - n)
                 ).reshape(n_over_b, _HOUGH_BANDS).T        # (128, N) bool
 
