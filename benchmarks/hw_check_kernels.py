@@ -13,7 +13,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-what = set(sys.argv[1:]) or {"bilateral", "hough", "lab", "clahe"}
+what = set(sys.argv[1:]) or {"bilateral", "hough", "lab", "clahe", "rank",
+                             "pack2"}
 
 
 def timeit(fn, n=5):
@@ -73,6 +74,47 @@ def main():
         tx = timeit(lambda: np.asarray(f_x(x))[0, 0, 0])
         tp = timeit(lambda: np.asarray(f_p(x))[0, 0, 0])
         print(f"lab xla {tx*1e3:.2f} ms  pallas {tp*1e3:.2f} ms")
+
+    if "rank" in what:
+        from tpuimage.ops.hough import band_compact_coords
+        edges = (rng.random((1200, 849)) < 0.05).astype(np.uint8) * 255
+        e = jnp.asarray(edges)
+        k = min(max(131072, (1200 * 849 * 3) // 16), 524288)
+        f_f = jax.jit(lambda a: band_compact_coords(a, k, impl="flat"))
+        f_r = jax.jit(lambda a: band_compact_coords(a, k, impl="rank"))
+        a = [np.asarray(v) for v in f_f(e)]
+        print("flat ok")
+        b = [np.asarray(v) for v in f_r(e)]
+        eq = all(np.array_equal(x, y) for x, y in zip(a, b))
+        print("rank ok, equal:", eq)
+        tf = timeit(lambda: np.asarray(f_f(e)[2])[0])
+        tr = timeit(lambda: np.asarray(f_r(e)[2])[0])
+        print(f"compact flat {tf*1e3:.2f} ms  rank {tr*1e3:.2f} ms")
+
+    if "pack2" in what:
+        from tpuimage.ops.hough import band_compact_coords
+        from tpuimage.ops.pallas_kernels import hough_votes_pallas
+        h, w = 1200, 849
+        edges = (rng.random((h, w)) < 0.05).astype(np.uint8) * 255
+        xs_t, ys_t, counts = band_compact_coords(jnp.asarray(edges),
+                                                 (h * w * 3) // 16)
+        numrho = (h + w) * 2 + 1
+        c_mid = (numrho - 1) // 2
+        rho_base = max(c_mid - (w - 1) - 1, 0)
+        rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, h - 1))) + 1,
+                     numrho - 1)
+        kw = dict(numrho=numrho, rho_base=rho_base,
+                  rho_bins=rho_hi - rho_base + 1, rows=128)
+        f_g = jax.jit(lambda x, y, c: hough_votes_pallas(x, y, c, **kw))
+        f_2 = jax.jit(lambda x, y, c: hough_votes_pallas(x, y, c,
+                                                         theta_pack=2, **kw))
+        a = np.asarray(f_g(xs_t, ys_t, counts))
+        print("grid ok")
+        b = np.asarray(f_2(xs_t, ys_t, counts))
+        print("pack2 ok, equal:", np.array_equal(a, b))
+        tg = timeit(lambda: np.asarray(f_g(xs_t, ys_t, counts))[0, 0])
+        t2 = timeit(lambda: np.asarray(f_2(xs_t, ys_t, counts))[0, 0])
+        print(f"vote grid {tg*1e3:.2f} ms  pack2 {t2*1e3:.2f} ms")
 
     if "clahe" in what:
         from tpuimage.ops.histogram import clahe

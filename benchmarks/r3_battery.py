@@ -1,0 +1,300 @@
+"""Round-3 measurement battery: every pending hardware question in one
+sequential, incrementally-printing run (the worker can crash mid-battery;
+each section stands alone).
+
+Sections:
+  1. compaction: flat vs twostage vs rank (the sort-free rank extraction)
+  2. vote kernel: production grid+wins vs theta_pack=2
+  3. canny hysteresis: dilate vs linescan on the classify cue batch
+  4. fused docscan program at batch 8 (current production defaults)
+  5. batch scaling 8/16/32 for the fused program
+  6. roofline arithmetic for the vote kernel (printed from measured dims)
+
+All timings: in-jit chained reps (data dependency threaded through each
+iteration), full-sum tokens, all-batch perturbation — see BASELINE.md
+round-2 pitfalls.
+
+Usage: python benchmarks/r3_battery.py [section ...]   (default: all)
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BATCH = 8
+REPS = 10
+
+_rtt = None
+
+
+def rtt():
+    global _rtt
+    if _rtt is None:
+        x = jnp.ones((8, 128), jnp.float32)
+        triv = jax.jit(lambda b: b.sum())
+        float(np.asarray(triv(x)))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            float(np.asarray(triv(x)))
+        _rtt = (time.perf_counter() - t0) / 5
+        print(f"rtt {_rtt*1e3:.2f} ms", flush=True)
+    return _rtt
+
+
+def chained(op, inp, perturb):
+    @jax.jit
+    def f(b):
+        def body(i, carry):
+            b_, acc = carry
+            tok = op(b_)
+            return perturb(b_, tok), acc + tok
+        return lax.fori_loop(0, REPS, body, (b, jnp.int32(0)))[1]
+    int(np.asarray(f(inp)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(np.asarray(f(inp)))
+        best = min(best, time.perf_counter() - t0)
+    return (best - rtt()) / REPS
+
+
+def edge_batch():
+    from tpuimage.pipelines import docscan
+    from tpuimage.ops.edges import canny
+    from PIL import Image
+    with Image.open("/root/reference/public/DIP test/document1.jpeg") as im:
+        page = np.asarray(im.convert("RGB").resize((849, 1200),
+                                                   Image.BILINEAR),
+                          dtype=np.uint8)
+    cfg = docscan.GUI_DOCUMENT_CONFIG
+    batch = jnp.asarray(np.broadcast_to(page, (BATCH,) + page.shape).copy())
+    weighted = jax.jit(
+        lambda b: docscan.docscan_post_warp_batch(b, cfg)["weighted"])(batch)
+    edges = jax.jit(jax.vmap(
+        lambda g: canny(g, cfg.canny_low, cfg.canny_high)))(weighted)
+    return jnp.asarray(np.asarray(edges))
+
+
+def perturb_edges(b_, tok):
+    return b_.at[:, 0, 0].set((tok % 251).astype(b_.dtype))
+
+
+def sec_compact():
+    from tpuimage.ops.hough import band_compact_coords
+    edges = edge_batch()
+    h, w = int(edges.shape[1]), int(edges.shape[2])
+    k = min(max(131072, (h * w * 3) // 16), 524288)
+    print("edge density:", round(float(np.asarray(edges[0] > 0).mean()), 4),
+          flush=True)
+    for impl in ("flat", "twostage", "rank"):
+        def op(eb, impl=impl):
+            def one(e):
+                _, _, counts = band_compact_coords(e, k, impl=impl)
+                return counts
+            return jax.vmap(one)(eb).sum()
+        try:
+            dt = chained(op, edges, perturb_edges)
+            print(f"compact[{impl:9s}] {dt*1e3:7.2f} ms", flush=True)
+        except Exception as e:
+            print(f"compact[{impl:9s}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+
+def _vote_setup(edges):
+    from tpuimage.ops.hough import band_compact_coords
+    h, w = int(edges.shape[1]), int(edges.shape[2])
+    numrho = (w + h) * 2 + 1
+    k = min(max(131072, (h * w * 3) // 16), 524288)
+    xs_t, ys_t, counts = jax.jit(jax.vmap(
+        lambda e: band_compact_coords(e, k)))(edges)
+    xs_t = jnp.asarray(np.asarray(xs_t))
+    ys_t = jnp.asarray(np.asarray(ys_t))
+    counts = jnp.asarray(np.asarray(counts))
+    c_mid = (numrho - 1) // 2
+    rho_base = max(c_mid - (w - 1) - 1, 0)
+    rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, h - 1))) + 1,
+                 numrho - 1)
+    rho_bins = rho_hi - rho_base + 1
+    th_np = np.arange(180) * (np.pi / 180)
+    ct_np, st_np = np.cos(th_np), np.sin(th_np)
+    gmin = np.clip(np.floor((w - 1) * np.minimum(ct_np, 0.0)) - 1
+                   + c_mid - rho_base, 0, rho_bins - 1).astype(np.int64)
+    gmax = np.clip(np.ceil((w - 1) * np.maximum(ct_np, 0.0)
+                           + (h - 1) * st_np) + 1
+                   + c_mid - rho_base, 0, rho_bins - 1).astype(np.int64)
+    win0 = gmin // 64
+    span = int((gmax // 64 + 1 - win0).max())
+    gb = (rho_bins + 63) // 64
+    win0 = np.minimum(win0, gb - span)
+    wins = tuple(int(v) for v in win0)
+    return (xs_t, ys_t, counts, numrho, rho_base, rho_bins, wins, span)
+
+
+def sec_vote():
+    from tpuimage.ops.pallas_kernels import hough_votes_pallas
+    edges = edge_batch()
+    (xs_t, ys_t, counts, numrho, rho_base, rho_bins,
+     wins, span) = _vote_setup(edges)
+
+    def perturb_xs(b_, tok):
+        return b_.at[:, 0, :].set((tok % 251).astype(jnp.float32))
+
+    for name, kw in [
+            ("grid+wins r128 (prod)", dict(rows=128, theta_wins=wins,
+                                           win_hi=span)),
+            ("pack2+wins r128", dict(rows=128, theta_wins=wins,
+                                     win_hi=span, theta_pack=2)),
+            ("pack2+wins r64", dict(rows=64, theta_wins=wins,
+                                    win_hi=span, theta_pack=2)),
+            ("pack2 noclip-wins r128", dict(rows=128, theta_pack=2)),
+    ]:
+        def op(xs, name=name, kw=kw):
+            def one(x, y, c):
+                acc = hough_votes_pallas(x, y, c, numrho,
+                                         rho_base=rho_base,
+                                         rho_bins=rho_bins, **kw)
+                return acc.astype(jnp.int32).sum()
+            return jax.vmap(one)(xs, ys_t, counts).sum()
+        try:
+            dt = chained(op, xs_t, perturb_xs)
+            print(f"vote[{name:24s}] {dt*1e3:7.2f} ms", flush=True)
+        except Exception as e:
+            print(f"vote[{name:24s}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+    # correctness spot-check on hardware: pack2 == grid
+    def acc_of(kw):
+        def one(x, y, c):
+            return hough_votes_pallas(x, y, c, numrho, rho_base=rho_base,
+                                      rho_bins=rho_bins, rows=128,
+                                      theta_wins=wins, win_hi=span, **kw)
+        return np.asarray(jax.jit(jax.vmap(one))(xs_t, ys_t, counts))
+    a = acc_of({})
+    b = acc_of(dict(theta_pack=2))
+    print("hw parity pack2 == grid:", np.array_equal(a, b), flush=True)
+
+
+def sec_canny():
+    import glob
+    from tpuimage.ops.edges import canny
+    from tpuimage.ops import color as colorops
+    from PIL import Image
+    files = sorted(glob.glob("/root/reference/public/*.jpg")
+                   + glob.glob("/root/reference/public/*.png"))
+    imgs = []
+    for f in files:
+        with Image.open(f) as im:
+            imgs.append(np.asarray(im.convert("RGB").resize((256, 256)),
+                                   dtype=np.uint8))
+    stack = jnp.asarray(np.stack(imgs))
+    grays = jax.jit(jax.vmap(colorops.rgb_to_gray))(stack)
+    grays = jnp.asarray(np.asarray(grays))
+
+    def perturb(b_, tok):
+        return b_.at[:, 0, :].set((tok % 251).astype(jnp.uint8))
+
+    for impl in ("dilate", "linescan"):
+        def op(gb, impl=impl):
+            return jax.vmap(lambda g: canny(g, 50, 150, impl=impl)
+                            .astype(jnp.int32).sum())(gb).sum()
+        try:
+            dt = chained(op, grays, perturb)
+            print(f"canny12x256[{impl:8s}] {dt*1e3:7.2f} ms", flush=True)
+        except Exception as e:
+            print(f"canny12x256[{impl:8s}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+    # A4-page batch (the fused-program canny)
+    from tpuimage.pipelines import docscan
+    from PIL import Image as I2
+    with I2.open("/root/reference/public/DIP test/document1.jpeg") as im:
+        page = np.asarray(im.convert("RGB").resize((849, 1200),
+                                                   I2.BILINEAR),
+                          dtype=np.uint8)
+    cfg = docscan.GUI_DOCUMENT_CONFIG
+    batch = jnp.asarray(np.broadcast_to(page, (BATCH,) + page.shape).copy())
+    weighted = jnp.asarray(np.asarray(jax.jit(
+        lambda b: docscan.docscan_post_warp_batch(b, cfg)["weighted"])(batch)))
+    for impl in ("dilate", "linescan"):
+        def op(gb, impl=impl):
+            return jax.vmap(lambda g: canny(g, cfg.canny_low, cfg.canny_high,
+                                            impl=impl)
+                            .astype(jnp.int32).sum())(gb).sum()
+        try:
+            dt = chained(op, weighted, perturb)
+            print(f"cannyA4x8[{impl:8s}]  {dt*1e3:7.2f} ms", flush=True)
+        except Exception as e:
+            print(f"cannyA4x8[{impl:8s}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+
+def sec_fused(batches=(8,)):
+    from tpuimage.pipelines import docscan
+    from PIL import Image
+    with Image.open("/root/reference/public/DIP test/document1.jpeg") as im:
+        page = np.asarray(im.convert("RGB").resize((849, 1200),
+                                                   Image.BILINEAR),
+                          dtype=np.uint8)
+    cfg = docscan.GUI_DOCUMENT_CONFIG
+    for bsz in batches:
+        batch = jnp.asarray(np.broadcast_to(page, (bsz,) + page.shape).copy())
+
+        def op(b):
+            return docscan.docscan_post_warp_batch(b, cfg)["clean"] \
+                .astype(jnp.int32).sum()
+
+        def perturb(b_, tok):
+            return b_.at[:, 0, 0, 0].set((tok % 251).astype(jnp.uint8))
+
+        try:
+            dt = chained(op, batch, perturb)
+            mp = bsz * page.shape[0] * page.shape[1] / 1e6
+            print(f"fused[b{bsz:<2d}] {dt*1e3:7.2f} ms  "
+                  f"{mp/dt:7.1f} MP/s", flush=True)
+        except Exception as e:
+            print(f"fused[b{bsz:<2d}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+
+def sec_roofline():
+    edges = edge_batch()
+    e0 = np.asarray(edges[0] > 0)
+    n_edges = int(e0.sum())
+    h, w = e0.shape
+    flat = np.flatnonzero(e0.reshape(-1))
+    bc = np.bincount(flat % 128, minlength=128)
+    span = int(np.ceil(np.hypot(w - 1, h - 1)) / 64) + 2
+    n_hi = span + 1
+    trips = int(-(-bc.max() // 128))  # rows=128
+    chunk = 128 * 128
+    ktot = 180 * trips * chunk * BATCH
+    print(f"edges/img {n_edges}  max_band {bc.max()}  trips(r128) {trips}")
+    print(f"vote dims: M={n_hi} N=64 (pack2: M={2*n_hi} N=128), "
+          f"K/chunk={chunk}")
+    print(f"MXU K-cycles: grid {ktot/1e6:.1f}M, pack2 {ktot/2e6:.1f}M "
+          f"(v5e ~6G K-cyc/s aggregate -> floors "
+          f"{ktot/6e9*1e3:.2f} / {ktot/12e9*1e3:.2f} ms)")
+    print(f"useful increments: {n_edges*180*BATCH/1e9:.2f}G "
+          f"(occupancy {n_hi*64/16384:.1%} of the 128x128 tile)")
+
+
+SECTIONS = {"compact": sec_compact, "vote": sec_vote, "canny": sec_canny,
+            "fused": lambda: sec_fused((8,)),
+            "scaling": lambda: sec_fused((8, 16, 32)),
+            "roofline": sec_roofline}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["compact", "vote", "canny", "fused", "scaling",
+                             "roofline"]
+    for nm in names:
+        print(f"=== {nm} ===", flush=True)
+        t0 = time.time()
+        SECTIONS[nm]()
+        print(f"  ({time.time()-t0:.0f}s)", flush=True)
