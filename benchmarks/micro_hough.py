@@ -137,7 +137,10 @@ def main():
                 v = jax.vmap(lambda a, b, c: hough_votes_pallas(
                     a, b, c, numrho, mxu=mxu, rows=rows, **kw))(xs_, ys_t, counts)
                 tok = v.sum()
-                return xs_.at[0, 0, 0].set(xs_[0, 0, 0] + 0.0 * tok), acc + tok
+                # all-batch perturbation (CLAUDE.md pitfall 2: touching only
+                # element 0 lets XLA hoist the other elements' voting work)
+                return (xs_.at[:, 0, 0].set(xs_[:, 0, 0] + 0.0 * tok),
+                        acc + tok)
             return lax.fori_loop(0, REPS, body, (xs, jnp.int32(0)))[1]
         s = int(np.asarray(f(xs_t)))
         best = float("inf")

@@ -149,6 +149,7 @@ def sec_vote():
     for name, kw in [
             ("grid+wins r128 (prod)", dict(rows=128, theta_wins=wins,
                                            win_hi=span)),
+            ("grid+wins r64", dict(rows=64, theta_wins=wins, win_hi=span)),
             ("pack2+wins r128", dict(rows=128, theta_wins=wins,
                                      win_hi=span, theta_pack=2)),
             ("pack2+wins r64", dict(rows=64, theta_wins=wins,

@@ -249,6 +249,50 @@ class TestScanBatch:
             np.testing.assert_array_equal(r["binary"],
                                           np.asarray(doc_result["binary"]))
 
+    def test_per_image_isolation_within_group(self, monkeypatch):
+        """One image whose HOST-side quad fit or homography solve fails
+        must not poison the other images of its shape group (scan_batch
+        docstring contract; round-3 review finding)."""
+        from PIL import Image
+        with Image.open(DOC1) as im:
+            doc = np.asarray(im.convert("RGB"))
+        cfg = docscan.GUI_DOCUMENT_CONFIG
+
+        # (a) quad-fit failure in the localize host half, 2nd image only
+        calls = {"n": 0}
+        real = docscan._quad_from_localize
+
+        def boom_second(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("synthetic quad-fit failure")
+            return real(*a, **kw)
+
+        monkeypatch.setattr(docscan, "_quad_from_localize", boom_second)
+        results = docscan.scan_batch([doc, doc, doc], config=cfg)
+        monkeypatch.undo()
+        assert "error" in results[1]
+        assert "synthetic quad-fit" in results[1]["error"]
+        for r in (results[0], results[2]):
+            assert "binary" in r and r["binary"].shape == (1200, 849)
+
+        # (b) singular homography for the 2nd image only
+        calls["n"] = 0
+        real_gpt = docscan.geometry.get_perspective_transform
+
+        def singular_second(src, dst):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                return np.zeros((3, 3), np.float32)  # np.linalg.inv raises
+            return real_gpt(src, dst)
+
+        monkeypatch.setattr(docscan.geometry, "get_perspective_transform",
+                            singular_second)
+        results = docscan.scan_batch([doc, doc, doc], config=cfg)
+        assert "error" in results[1]
+        for r in (results[0], results[2]):
+            assert "binary" in r and r["binary"].shape == (1200, 849)
+
     def test_mixed_shape_batch(self, rng):
         """Quad pages + use-whole fallbacks of two different shapes in one
         batch: each shape group processes separately, every result matches

@@ -27,25 +27,36 @@ LABELS = ["nightscape", "landscape", "document", "face"]
 
 @jax.jit
 def _device_cues(rgb: jnp.ndarray):
-    """(white_ratio, line_count, brightness, otsu_binary) in one program."""
+    """(white_ratio, line_count, brightness, otsu_binary, hough_overflow)
+    in one program."""
     gray = colorops.rgb_to_gray(rgb) if rgb.ndim == 3 else rgb
     _, binary = threshold_otsu(gray)
     white_ratio = jnp.mean((binary == 255).astype(jnp.float32))
     edges = canny(gray, 50, 150)
-    # 25% edge budget: NMS-thinned Canny maps measured 2-13% dense; for
-    # the 256x256 cue images this lands the vote kernel on its theta-inner
-    # path (kb=128 — one grid step instead of 180 per image, the workload
-    # the variant was built for; round-2 ADVICE item 1)
+    # Edge budget = 128*h: the per-band cap (h) covers a FULL-HEIGHT
+    # vertical line (all h pixels of one column share a band when
+    # w % 128 == 0 — a (h*w)//4 budget capped such a line at 128 votes,
+    # below the 150 threshold, silently erasing it from the count). For
+    # 256x256 cue images kb=256 still rides the vote kernel's theta-inner
+    # path (round-2 ADVICE item 1); overflow is returned so denser inputs
+    # warn instead of miscounting.
     h, w = gray.shape[0], gray.shape[1]
-    line_count = hough_line_count(edges, threshold=150, max_lines=256,
-                                  max_edges=(h * w) // 4)
+    line_count, overflow = hough_line_count(edges, threshold=150,
+                                            max_lines=256,
+                                            max_edges=128 * h,
+                                            return_overflow=True)
     brightness = jnp.mean(gray.astype(jnp.float32))
-    return white_ratio, line_count, brightness, binary
+    return white_ratio, line_count, brightness, binary, overflow
 
 
 def document_cues(rgb: np.ndarray) -> Tuple[float, int, bool]:
     """classification.py:63-91 document_score: (white_ratio, lines, rect)."""
-    white_ratio, line_count, _, binary = _device_cues(jnp.asarray(rgb))
+    white_ratio, line_count, _, binary, overflow = _device_cues(
+        jnp.asarray(rgb))
+    if bool(overflow):
+        import warnings
+        warnings.warn("hough edge budget overflowed on a classifier cue "
+                      "image: line_count is an undercount", RuntimeWarning)
     binary = np.asarray(binary)
     img_area = float(binary.shape[0] * binary.shape[1])
     large_rect = False
@@ -118,7 +129,12 @@ def _batch_cues(rgbs):
         by_shape.setdefault(a.shape, []).append(i)
     for shape, idxs in by_shape.items():
         stack = jnp.asarray(np.stack([arrs[i] for i in idxs]))
-        wr, lc, _, binary = jax.vmap(_device_cues)(stack)
+        wr, lc, _, binary, ovf = jax.vmap(_device_cues)(stack)
+        if bool(np.asarray(ovf).any()):
+            import warnings
+            warnings.warn("hough edge budget overflowed on a classifier "
+                          "cue image: line_count is an undercount",
+                          RuntimeWarning)
         wr, lc, binary = np.asarray(wr), np.asarray(lc), np.asarray(binary)
         for j, i in enumerate(idxs):
             img_area = float(binary[j].shape[0] * binary[j].shape[1])

@@ -98,6 +98,15 @@ def band_compact_coords(edges: jnp.ndarray, max_edges: int,
                 if (n_bits + 1 <= 15 and n_over_b >= 4 * _GROUP
                     and n_groups * _GROUP_CAP < n_over_b)
                 else "flat")
+    if impl == "twostage" and (n_bits + 1 > 15 or n_over_b < _GROUP):
+        # forced paths must raise, not silently corrupt (filters.py rule):
+        # n_bits+1 > 15 overflows the int16 merge key's valid flag into the
+        # sign bit; n_over_b < one group makes grev exceed 2^n_bits and
+        # clobber the flag bit
+        raise ValueError(
+            f"impl='twostage' needs n_bits + 1 <= 15 and at least one full "
+            f"{_GROUP}-column group (got n_bits={n_bits}, "
+            f"n_over_b={n_over_b}); use impl='flat' or 'rank'")
     e = (edges.reshape(-1) > 0)
 
     if impl == "rank":
@@ -340,7 +349,8 @@ def _is_peak(acc: jnp.ndarray, threshold: int) -> jnp.ndarray:
 
 def hough_fold_median_angle(edges: jnp.ndarray, threshold: int,
                             rho: float = 1.0, theta_bins: int = 180,
-                            return_overflow: bool = False):
+                            return_overflow: bool = False,
+                            max_edges: int = 0):
     """Median of fold-to-[-90, 90) line angles (degrees) over ALL Hough
     peaks above threshold — the DocScanner deskew statistic
     (DocScanner.py:219-228: np.median over every returned line's angle).
@@ -356,6 +366,7 @@ def hough_fold_median_angle(edges: jnp.ndarray, threshold: int,
     hough_accumulator (True = votes undercounted, angle untrustworthy).
     """
     acc, overflow = hough_accumulator(edges, rho=rho, theta_bins=theta_bins,
+                                      max_edges=max_edges,
                                       return_overflow=True)
     counts = jnp.sum(_is_peak(acc, threshold).astype(jnp.int32), axis=0)  # (theta,)
 
@@ -376,31 +387,40 @@ def hough_fold_median_angle(edges: jnp.ndarray, threshold: int,
 
 def hough_line_count(edges: jnp.ndarray, threshold: int, rho: float = 1.0,
                      theta_bins: int = 180, max_lines: int = 64,
-                     max_edges: int = 0) -> jnp.ndarray:
+                     max_edges: int = 0, return_overflow: bool = False):
     """min(number of Hough peaks above threshold, max_lines) — identical to
     ``hough_lines(...)[1].sum()`` (top_k keeps exactly the positive-vote
     peaks) without materializing the top_k extraction, which dominates the
     classifier-cue program on tiny images (the cue only compares the count
-    against a threshold, classification.py:72)."""
-    acc = hough_accumulator(edges, rho=rho, theta_bins=theta_bins,
-                            max_edges=max_edges)
-    n = jnp.sum(_is_peak(acc, threshold).astype(jnp.int32))
-    return jnp.minimum(n, max_lines)
+    against a threshold, classification.py:72).
+
+    ``return_overflow=True`` appends the edge-budget overflow bool: True
+    means the compaction dropped edges and the count is an undercount.
+    Callers passing a tight ``max_edges`` should consume it (the round-2
+    guard exists so over-budget inputs fail loudly, not silently)."""
+    acc, overflow = hough_accumulator(edges, rho=rho, theta_bins=theta_bins,
+                                      max_edges=max_edges,
+                                      return_overflow=True)
+    n = jnp.minimum(jnp.sum(_is_peak(acc, threshold).astype(jnp.int32)),
+                    max_lines)
+    return (n, overflow) if return_overflow else n
 
 
 def hough_lines(edges: jnp.ndarray, threshold: int, rho: float = 1.0,
                 theta_bins: int = 180, max_lines: int = 64,
-                max_edges: int = 0):
+                max_edges: int = 0, return_overflow: bool = False):
     """cv2.HoughLines analog: returns (lines (max_lines, 2) [rho, theta],
     valid mask). Peaks = strict local maxima over the 4-neighbourhood in
     (rho, theta) with votes > threshold, ordered by votes (cv2 sorts too).
 
-    max_edges tightens the compaction budget (callers with small images
-    pass ~h*w/4 so the vote kernel's theta-inner path fires — NMS-thinned
-    Canny maps measured 2-13%% dense never reach 25%%, and overflow would
-    raise the hough_accumulator flag, not silently miscount)."""
-    acc = hough_accumulator(edges, rho=rho, theta_bins=theta_bins,
-                            max_edges=max_edges)
+    max_edges tightens the compaction budget; ``return_overflow=True``
+    appends hough_accumulator's edge-budget overflow bool (True = edges
+    were dropped and the peaks are computed from undercounted votes).
+    Tight-budget callers must either size the budget for their worst legal
+    input or consume the flag — dropping it silently miscounts."""
+    acc, overflow = hough_accumulator(edges, rho=rho, theta_bins=theta_bins,
+                                      max_edges=max_edges,
+                                      return_overflow=True)
     numrho = acc.shape[0]
     votes = jnp.where(_is_peak(acc, threshold), acc, 0)
     flat = votes.reshape(-1)
@@ -410,6 +430,8 @@ def hough_lines(edges: jnp.ndarray, threshold: int, rho: float = 1.0,
     rhos = (f32(r_idx) - (numrho - 1) // 2) * rho
     thetas = f32(t_idx) * (np.pi / theta_bins)
     lines = jnp.stack([rhos, thetas], axis=-1)
+    if return_overflow:
+        return lines, top_v > 0, overflow
     return lines, top_v > 0
 
 

@@ -84,6 +84,10 @@ class DocScanConfig:
     max_rotate: float = 10.0
     fallback_use_whole: bool = True
     min_quad_area_ratio: float = 0.15
+    # deskew Hough edge budget; 0 = hough_accumulator's density-scaled
+    # default (18.75% of pixels, floor 128k, cap 512k). Raise when the
+    # deskew_overflow flag fires on unusually dense pages.
+    deskew_max_edges: int = 0
 
 
 # The override config AI_classification.py:645-663 used to produce the
@@ -231,9 +235,17 @@ def localize_batch_dev(rgb_dev: jnp.ndarray, config: DocScanConfig) -> list:
     segs_b = buf[:, ne:ne + n_segs * 16].copy().view(np.float32
                                                      ).reshape(b, n_segs, 4)
     ok_b = buf[:, ne + n_segs * 16:].astype(bool)
-    return [_quad_from_localize(edges_b[i], segs_b[i], ok_b[i],
-                                (h, w), config)
-            for i in range(b)]
+    out = []
+    for i in range(b):
+        # per-image isolation of the HOST half (contour walk / quad fit):
+        # one malformed image must not poison its shape group (scan_batch
+        # contract). Failed entries carry the exception.
+        try:
+            out.append(_quad_from_localize(edges_b[i], segs_b[i], ok_b[i],
+                                           (h, w), config))
+        except Exception as e:  # noqa: BLE001 — isolation boundary
+            out.append(e)
+    return out
 
 
 def localize_batch(rgbs: np.ndarray, config: DocScanConfig) -> list:
@@ -246,23 +258,8 @@ def localize_document(rgb: np.ndarray, config: DocScanConfig) -> Optional[np.nda
     """DocScanner.py:76-109 — device Canny/Hough + host contour/quad fit."""
     edges_d, segs_d, ok_d = _localize_device(jnp.asarray(rgb),
                                              config.canny_low, config.canny_high)
-    edges = np.asarray(edges_d)
-    segs = np.asarray(segs_d)[np.asarray(ok_d)]
-    line_img = draw_segments(edges.shape, segs, thickness=2)
-    combined = edges | line_img
-
-    contour_list = cnt.find_external_contours(combined)
-    img_area = rgb.shape[0] * rgb.shape[1]
-    filtered = [c for c in contour_list
-                if config.min_area_ratio <= cnt.contour_area(c) / max(img_area, 1)
-                <= config.max_area_ratio]
-    quad = _largest_quadrilateral(filtered if filtered else contour_list)
-    if quad is None:
-        if not contour_list:
-            return None
-        c = max(contour_list, key=cnt.contour_area)
-        quad = cnt.box_points(cnt.min_area_rect(c))
-    return order_quad_points(quad)
+    return _quad_from_localize(np.asarray(edges_d), np.asarray(segs_d),
+                               np.asarray(ok_d), rgb.shape[:2], config)
 
 
 def _warp_target_size(quad: np.ndarray, page: str, scale_long: int) -> Tuple[int, int]:
@@ -298,7 +295,7 @@ def perspective_warp(rgb: np.ndarray, quad: np.ndarray, page: str = "A4",
 
 
 def _deskew_angle(binary: jnp.ndarray, canny_low: int, canny_high: int,
-                  max_rotate: float) -> jnp.ndarray:
+                  max_rotate: float, max_edges: int = 0) -> jnp.ndarray:
     """DocScanner.py:217-231: Canny → HoughLines(thr 150) → median of
     fold-to-[-90,90) angles, zeroed when |median| > max_rotate.
 
@@ -311,7 +308,8 @@ def _deskew_angle(binary: jnp.ndarray, canny_low: int, canny_high: int,
     synthetic inputs now fail loudly instead of deskewing wrong)."""
     edges = canny(binary, canny_low, canny_high)
     med, overflow = hough_fold_median_angle(edges, threshold=150,
-                                            return_overflow=True)
+                                            return_overflow=True,
+                                            max_edges=max_edges)
     return jnp.where(jnp.abs(med) > max_rotate, 0.0, med), overflow
 
 
@@ -408,7 +406,7 @@ def docscan_post_warp(warped_rgb: jnp.ndarray, config: DocScanConfig) -> Dict[st
     # deskew (:217-236): in-graph angle + traced rotation; angle==0 (the
     # common outcome) short-circuits to identity in unbatched runs.
     angle, overflow = _deskew_angle(weighted, c.canny_low, c.canny_high,
-                                    c.max_rotate)
+                                    c.max_rotate, c.deskew_max_edges)
     rot = _rotate_for(c)
     desk = jax.lax.cond(angle == 0.0, lambda im: im,
                         lambda im: rot(im, angle), weighted)
@@ -431,7 +429,8 @@ def docscan_post_warp_batch(warped_batch: jnp.ndarray, config: DocScanConfig):
     pre = jax.vmap(lambda im: _pre_deskew_stages(im, c))(warped_batch)
     weighted = pre["weighted"]
     angles, overflows = jax.vmap(
-        lambda wt: _deskew_angle(wt, c.canny_low, c.canny_high, c.max_rotate)
+        lambda wt: _deskew_angle(wt, c.canny_low, c.canny_high, c.max_rotate,
+                                 c.deskew_max_edges)
     )(weighted)
     rot = _rotate_for(c)
     desk = jax.lax.cond(
@@ -546,7 +545,8 @@ def process_document(input_path, out_dir: Optional[str] = "outputs",
         import warnings
         warnings.warn("Hough edge budget overflowed during deskew: the "
                       "deskew angle is computed from an undercounted vote "
-                      "accumulator; rerun with a larger max_edges.")
+                      "accumulator; rerun with a larger "
+                      "DocScanConfig.deskew_max_edges.")
     return _finish_document(result, out_dir, do_ocr)
 
 
@@ -575,7 +575,11 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
     program per SHAPE GROUP — DP-sharded over a device mesh when one is
     given. Returns a list of per-image dicts {quad, use_whole, binary}.
     Per-image failures are isolated (the reference's try/except-continue
-    pattern): failed entries carry {"error": ...} instead.
+    pattern): failed entries carry {"error": ...} instead. All HOST-side
+    per-image work (load, contour/quad fit, homography solve/invert) is
+    individually wrapped; only a failure of a batched DEVICE dispatch —
+    all-or-nothing by construction (compile error, OOM), never
+    data-dependent — marks its whole shape group.
 
     Shape handling: quad-detected pages all share the static page geometry
     (portrait/landscape A4 at scale_long — at most 2 shapes per config and
@@ -617,8 +621,16 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
             dev_stacks[shape] = (stack_dev, {i: j for j, i in enumerate(idxs)})
             found = localize_batch_dev(stack_dev, config)
             for i, q in zip(idxs, found):
-                quads[i] = q
+                if isinstance(q, Exception):
+                    # host-side quad fit failed for THIS image only
+                    metas[i] = {"error": str(q)}
+                    rgbs[i] = None
+                else:
+                    quads[i] = q
         except Exception as e:
+            # the batched device dispatch is all-or-nothing by
+            # construction; a failure here is systemic (compile/OOM),
+            # not data-dependent
             for i in idxs:
                 metas[i] = {"error": str(e)}
                 rgbs[i] = None
@@ -649,21 +661,34 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
         except Exception as e:
             metas[i] = {"error": str(e)}
     for (shape, th, tw), idxs in warp_groups.items():
+        dst = np.array([[0, 0], [tw - 1, 0], [tw - 1, th - 1],
+                        [0, th - 1]], dtype=np.float32)
+        # per-image isolation of the host-side solves: a degenerate quad
+        # (near-collinear points -> singular homography) must not poison
+        # the rest of its group
+        minvs_list, good = [], []
+        for i in idxs:
+            try:
+                minvs_list.append(np.linalg.inv(
+                    geometry.get_perspective_transform(
+                        metas[i]["quad"].astype(np.float32), dst)))
+                good.append(i)
+            except Exception as e:
+                metas[i] = {"error": str(e)}
+        if not good:
+            continue
         try:
-            dst = np.array([[0, 0], [tw - 1, 0], [tw - 1, th - 1],
-                            [0, th - 1]], dtype=np.float32)
-            minvs = np.stack([np.linalg.inv(geometry.get_perspective_transform(
-                metas[i]["quad"].astype(np.float32), dst)) for i in idxs])
             stack_dev, pos = dev_stacks[shape]
-            rows = [pos[i] for i in idxs]
+            rows = [pos[i] for i in good]
             src = stack_dev if rows == list(range(stack_dev.shape[0])) \
                 else jnp.take(stack_dev, jnp.asarray(rows), axis=0)
             warped = geometry.warp_perspective_batch(
-                src, jnp.asarray(minvs, jnp.float32), th, tw)
-            for j, i in enumerate(idxs):
+                src, jnp.asarray(np.stack(minvs_list), jnp.float32), th, tw)
+            for j, i in enumerate(good):
                 pages[i] = warped[j]
         except Exception as e:
-            for i in idxs:
+            # batched device warp: all-or-nothing dispatch, systemic
+            for i in good:
                 metas[i] = {"error": str(e)}
 
     shapes = {p.shape for p in pages if p is not None}
