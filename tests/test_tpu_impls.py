@@ -170,6 +170,12 @@ class TestHoughPallas:
         b = np.asarray(hough_votes_pallas(xs_t, ys_t, counts,
                                           theta_pack=2, **kw))
         np.testing.assert_array_equal(a, b)
+        if not with_wins:
+            # the generalized pack: 4 thetas per tile at the lo=32 radix
+            c = np.asarray(hough_votes_pallas(xs_t, ys_t, counts,
+                                              theta_pack=4, lo_bins=32,
+                                              **kw))
+            np.testing.assert_array_equal(a, c)
 
     @pytest.mark.parametrize("shape,density", [((600, 400), 0.05),
                                                ((600, 400), 0.2),

@@ -357,37 +357,42 @@ def _make_hough_kernel(n_hi: int, nbins: int,
                          xs_ref, ys_ref, acc_ref)
         out_ref[:] = acc_ref[:].reshape((1,) + acc_shape)
 
-    def kernel_pack2(nt_ref, ct_ref, st_ref, rs_ref, xs_ref, ys_ref,
-                     out_ref, acc_ref):
-        # TWO thetas per dot: stack both hi one-hots in M (2*n_hi rows) and
-        # both lo one-hots in N (2*lo_bins cols). The MXU streams K cycles
-        # per 128x128 output tile regardless of how few cells are useful,
-        # so one (2*n_hi, 2*lo) dot costs the same tile passes as ONE
-        # (n_hi, lo) dot while covering two thetas — the off-diagonal
+    def make_kernel_pack(pk: int):
+        # pk thetas per dot: stack the thetas' hi one-hots in M (pk*n_hi
+        # rows) and lo one-hots in N (pk*lo_bins cols). The MXU streams K
+        # cycles per 128x128 output tile regardless of how few cells are
+        # useful, so one (pk*n_hi, pk*lo) dot costs the tile passes of ONE
+        # (n_hi, lo) dot while covering pk thetas — the off-diagonal
         # blocks (theta_i hi x theta_j lo, i != j) are garbage cross
-        # counts and are never read. Requires 2*n_hi <= 128 and
-        # 2*lo_bins <= 128 to stay inside one tile (asserted by caller).
-        # Bonus: 2*n_hi is 16-aligned where the bf16 (n_hi, chunk) operand
-        # was sublane-misaligned for odd-ish n_hi.
-        t = pl.program_id(0)
-        acc_ref[:] = jnp.zeros((2 * n_hi, 2 * lo_bins), acc_dtype)
+        # counts and are never read. Requires pk*n_hi <= 128 and
+        # pk*lo_bins <= 128 (asserted by caller); A4 pages fit pk=2 at
+        # lo=64, small cue images fit pk=4 at lo=32.
+        def kernel_pack(nt_ref, ct_ref, st_ref, rs_ref, xs_ref, ys_ref,
+                        out_ref, acc_ref):
+            t = pl.program_id(0)
+            acc_ref[:] = jnp.zeros((pk * n_hi, pk * lo_bins), acc_dtype)
 
-        def body(c, _):
-            h1, l1 = build(c, ct_ref[2 * t, 0], st_ref[2 * t, 0],
-                           rs_ref[2 * t, 0], xs_ref, ys_ref)
-            h2, l2 = build(c, ct_ref[2 * t + 1, 0], st_ref[2 * t + 1, 0],
-                           rs_ref[2 * t + 1, 0], xs_ref, ys_ref)
-            hh = jnp.concatenate([h1, h2], axis=0)
-            ll = jnp.concatenate([l1, l2], axis=0)
-            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-                hh, ll, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=acc_dtype)
-            return 0
+            def body(c, _):
+                hs, ls = [], []
+                for j in range(pk):
+                    hj, lj = build(c, ct_ref[pk * t + j, 0],
+                                   st_ref[pk * t + j, 0],
+                                   rs_ref[pk * t + j, 0], xs_ref, ys_ref)
+                    hs.append(hj)
+                    ls.append(lj)
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    jnp.concatenate(hs, axis=0), jnp.concatenate(ls, axis=0),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=acc_dtype)
+                return 0
 
-        jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
-        a = acc_ref[:]
-        out_ref[0] = a[:n_hi, :lo_bins]
-        out_ref[1] = a[n_hi:, lo_bins:]
+            jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
+            a = acc_ref[:]
+            for j in range(pk):
+                out_ref[j] = a[j * n_hi:(j + 1) * n_hi,
+                               j * lo_bins:(j + 1) * lo_bins]
+
+        return kernel_pack
 
     def kernel_inner(nt_ref, ct_ref, st_ref, rs_ref, xs_ref, ys_ref,
                      out_ref, acc_ref):
@@ -405,7 +410,7 @@ def _make_hough_kernel(n_hi: int, nbins: int,
 
         jax.lax.fori_loop(0, n_t, tloop, 0)
 
-    return kernel, kernel_inner, kernel_pack2
+    return kernel, kernel_inner, make_kernel_pack
 
 
 # Poison coordinates for invalid edge slots: r = x cos(t) + y sin(t) lands
@@ -510,7 +515,7 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     n_trips = ((jnp.max(counts) + rows - 1) // rows
                ).astype(jnp.int32).reshape(1, 1)
 
-    kernel, kernel_inner, kernel_pack2 = _make_hough_kernel(
+    kernel, kernel_inner, make_kernel_pack = _make_hough_kernel(
         n_hi, rho_bins, mxu_dtype, acc_dtype, rows, swap_mn, lo_bins,
         n_chunks=kb // rows, pipelined=pipelined)
     acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
@@ -542,13 +547,15 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
         return v.T
     if theta_inner == "auto":
         theta_inner = "inner" if kb <= _THETA_INNER_MAX_KB else "grid"
-    if theta_pack == 2 and theta_inner == "grid":
+    if theta_pack > 1 and theta_inner == "grid":
+        pk = theta_pack
         assert not swap_mn and not pipelined, \
-            "theta_pack=2 supports only the default serial orientation"
-        assert theta_bins % 2 == 0 and 2 * n_hi <= 128 and 2 * lo_bins <= 128
+            "theta_pack supports only the default serial orientation"
+        assert (theta_bins % pk == 0 and pk * n_hi <= 128
+                and pk * lo_bins <= 128)
         votes = pl.pallas_call(
-            kernel_pack2,
-            grid=(theta_bins // 2,),
+            make_kernel_pack(pk),
+            grid=(theta_bins // pk,),
             out_shape=jax.ShapeDtypeStruct((theta_bins,) + acc_shape,
                                            acc_dtype),
             in_specs=[
@@ -565,9 +572,10 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                 pl.BlockSpec((kb, _HOUGH_BANDS), lambda t: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((2,) + acc_shape, lambda t: (t, 0, 0),
+            out_specs=pl.BlockSpec((pk,) + acc_shape, lambda t: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((2 * n_hi, 2 * lo_bins), acc_dtype)],
+            scratch_shapes=[pltpu.VMEM((pk * n_hi, pk * lo_bins),
+                                       acc_dtype)],
             interpret=interpret,
         )(n_trips, cos_t, sin_t, rs_t, xs_t, ys_t)
         return unpack(votes)
