@@ -179,8 +179,11 @@ def main():
     # report a phantom 74k MP/s).
     def cue_tok(s):
         def one(im):
-            wr, lc, br, binary = _device_cues(im)
-            return (wr + lc + br).astype(jnp.float32) + binary.astype(jnp.float32).sum()
+            wr, lc, br, binary, ovf, gray = _device_cues(im)
+            return ((wr + lc + br).astype(jnp.float32)
+                    + binary.astype(jnp.float32).sum()
+                    + ovf.astype(jnp.float32)
+                    + gray.astype(jnp.float32).sum())
         return jax.vmap(one)(s).sum()
     tpu_t = timeit_tpu(cue_tok, sj, reps=96)
     results.append(("classify_cues", mp / timeit_host(cpu_classify), mp / tpu_t))

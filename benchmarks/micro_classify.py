@@ -83,7 +83,9 @@ def main():
             .astype(jnp.int32))(b))),
         ("full_cues", lambda b: sum(
             tok(t) for t in jax.vmap(_device_cues)(b)[:3]) + tok(
-                jax.vmap(_device_cues)(b)[3])),
+                jax.vmap(_device_cues)(b)[3]) + tok(
+                jax.vmap(_device_cues)(b)[5]) + tok(
+                jax.vmap(_device_cues)(b)[4].astype(jnp.int32))),
     ]
     for name, fn in stages:
         dt = chained(fn)

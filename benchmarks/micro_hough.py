@@ -108,21 +108,10 @@ def main():
     rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, h - 1))) + 1, numrho - 1)
 
     def theta_wins_for(lo_b=64, theta_bins=180):
-        c_mid = (numrho - 1) // 2
-        rho_bins = rho_hi - rho_base + 1
-        th_np = np.arange(theta_bins) * (np.pi / theta_bins)
-        ct_np, st_np = np.cos(th_np), np.sin(th_np)
-        rmin = (w - 1) * np.minimum(ct_np, 0.0)
-        rmax = (w - 1) * np.maximum(ct_np, 0.0) + (h - 1) * st_np
-        gmin = np.clip(np.floor(rmin) - 1 + c_mid - rho_base, 0,
-                       rho_bins - 1).astype(np.int64)
-        gmax = np.clip(np.ceil(rmax) + 1 + c_mid - rho_base, 0,
-                       rho_bins - 1).astype(np.int64)
-        win0 = gmin // lo_b
-        span = int((gmax // lo_b + 1 - win0).max())
-        gb = (rho_bins + lo_b - 1) // lo_b
-        win0 = np.minimum(win0, gb - span)
-        return tuple(int(v) for v in win0), span
+        # the ONE implementation lives in ops.hough (review finding)
+        from tpuimage.ops.hough import theta_windows
+        return theta_windows(h, w, (numrho - 1) // 2, rho_base,
+                             rho_hi - rho_base + 1, lo_b, theta_bins)
 
     def chained_vote(mxu, clip, rows, wins=False):
         kw = dict(rho_base=rho_base, rho_bins=rho_hi - rho_base + 1) if clip else {}

@@ -96,8 +96,11 @@ def sec_compact():
     for impl in ("flat", "twostage", "rank"):
         def op(eb, impl=impl):
             def one(e):
-                _, _, counts = band_compact_coords(e, k, impl=impl)
-                return counts
+                # token must consume ALL outputs (CLAUDE.md pitfall 3): a
+                # counts-only token dead-codes the coordinate extraction —
+                # for impl='rank' that is the entire Pallas kernel
+                xs, ys, counts = band_compact_coords(e, k, impl=impl)
+                return (xs.sum() + ys.sum()).astype(jnp.int32) + counts.sum()
             return jax.vmap(one)(eb).sum()
         try:
             dt = chained(op, edges, perturb_edges)
@@ -117,23 +120,13 @@ def _vote_setup(edges):
     xs_t = jnp.asarray(np.asarray(xs_t))
     ys_t = jnp.asarray(np.asarray(ys_t))
     counts = jnp.asarray(np.asarray(counts))
+    from tpuimage.ops.hough import theta_windows
     c_mid = (numrho - 1) // 2
     rho_base = max(c_mid - (w - 1) - 1, 0)
     rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, h - 1))) + 1,
                  numrho - 1)
     rho_bins = rho_hi - rho_base + 1
-    th_np = np.arange(180) * (np.pi / 180)
-    ct_np, st_np = np.cos(th_np), np.sin(th_np)
-    gmin = np.clip(np.floor((w - 1) * np.minimum(ct_np, 0.0)) - 1
-                   + c_mid - rho_base, 0, rho_bins - 1).astype(np.int64)
-    gmax = np.clip(np.ceil((w - 1) * np.maximum(ct_np, 0.0)
-                           + (h - 1) * st_np) + 1
-                   + c_mid - rho_base, 0, rho_bins - 1).astype(np.int64)
-    win0 = gmin // 64
-    span = int((gmax // 64 + 1 - win0).max())
-    gb = (rho_bins + 63) // 64
-    win0 = np.minimum(win0, gb - span)
-    wins = tuple(int(v) for v in win0)
+    wins, span = theta_windows(h, w, c_mid, rho_base, rho_bins, 64)
     return (xs_t, ys_t, counts, numrho, rho_base, rho_bins, wins, span)
 
 

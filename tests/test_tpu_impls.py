@@ -154,18 +154,9 @@ class TestHoughPallas:
                   rho_bins=rho_hi - rho_base + 1, interpret=True,
                   theta_inner="grid")
         if with_wins:
-            th = np.arange(180) * (np.pi / 180)
-            ct, st = np.cos(th), np.sin(th)
-            gmin = np.clip(np.floor((w - 1) * np.minimum(ct, 0.0)) - 1
-                           + c_mid - rho_base, 0, kw["rho_bins"] - 1)
-            gmax = np.clip(np.ceil((w - 1) * np.maximum(ct, 0.0)
-                                   + (h - 1) * st) + 1
-                           + c_mid - rho_base, 0, kw["rho_bins"] - 1)
-            win0 = (gmin.astype(np.int64)) // _HOUGH_LO
-            span = int((gmax.astype(np.int64) // _HOUGH_LO + 1 - win0).max())
-            gb = (kw["rho_bins"] + _HOUGH_LO - 1) // _HOUGH_LO
-            win0 = np.minimum(win0, gb - span)
-            kw.update(theta_wins=tuple(int(v) for v in win0), win_hi=span)
+            win0, span = hough_mod.theta_windows(h, w, c_mid, rho_base,
+                                                 kw["rho_bins"], _HOUGH_LO)
+            kw.update(theta_wins=win0, win_hi=span)
         a = np.asarray(hough_votes_pallas(xs_t, ys_t, counts, **kw))
         b = np.asarray(hough_votes_pallas(xs_t, ys_t, counts,
                                           theta_pack=2, **kw))

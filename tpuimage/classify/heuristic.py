@@ -27,88 +27,115 @@ LABELS = ["nightscape", "landscape", "document", "face"]
 
 @jax.jit
 def _device_cues(rgb: jnp.ndarray):
-    """(white_ratio, line_count, brightness, otsu_binary, hough_overflow)
-    in one program."""
+    """(white_ratio, line_count, brightness, otsu_binary, hough_overflow,
+    gray) in one program (gray is returned so batch callers feed Haar
+    without a separate per-image rgb_to_gray dispatch)."""
     gray = colorops.rgb_to_gray(rgb) if rgb.ndim == 3 else rgb
     _, binary = threshold_otsu(gray)
     white_ratio = jnp.mean((binary == 255).astype(jnp.float32))
     edges = canny(gray, 50, 150)
-    # Edge budget = 128*h: the per-band cap (h) covers a FULL-HEIGHT
-    # vertical line (all h pixels of one column share a band when
-    # w % 128 == 0 — a (h*w)//4 budget capped such a line at 128 votes,
-    # below the 150 threshold, silently erasing it from the count). For
-    # 256x256 cue images kb=256 still rides the vote kernel's theta-inner
-    # path (round-2 ADVICE item 1); overflow is returned so denser inputs
-    # warn instead of miscounting.
+    # Edge budget = max(56.25% of pixels capped at 512k, 128*h): the
+    # 128*h term makes the per-band cap cover a FULL-HEIGHT vertical line
+    # (all h pixels of one column share a band when w % 128 == 0 — a
+    # (h*w)//4 budget capped such a line at 128 votes, below the 150
+    # threshold, silently erasing it from the count); the 9/16 density
+    # term covers the committed noise images (facewith50noise.jpg's Canny
+    # is 37% dense with a 40%-of-positions max band — the "2-13% measured"
+    # rule of thumb holds only for natural photos). For 256x256 cue
+    # images this is 36864 -> kb=288, still the vote kernel's theta-inner
+    # path (round-2 ADVICE item 1); overflow is returned so even denser
+    # inputs warn instead of miscounting.
     h, w = gray.shape[0], gray.shape[1]
+    budget = max(min((h * w * 9) // 16, 524288), 128 * h)
     line_count, overflow = hough_line_count(edges, threshold=150,
-                                            max_lines=256,
-                                            max_edges=128 * h,
+                                            max_lines=256, max_edges=budget,
                                             return_overflow=True)
     brightness = jnp.mean(gray.astype(jnp.float32))
-    return white_ratio, line_count, brightness, binary, overflow
+    return white_ratio, line_count, brightness, binary, overflow, gray
 
 
-def document_cues(rgb: np.ndarray) -> Tuple[float, int, bool]:
-    """classification.py:63-91 document_score: (white_ratio, lines, rect)."""
-    white_ratio, line_count, _, binary, overflow = _device_cues(
-        jnp.asarray(rgb))
-    if bool(overflow):
-        import warnings
-        warnings.warn("hough edge budget overflowed on a classifier cue "
-                      "image: line_count is an undercount", RuntimeWarning)
-    binary = np.asarray(binary)
+def _large_rect(binary: np.ndarray) -> bool:
+    """classification.py:76-89: any >=30%-area 4-gon contour in the Otsu
+    binary (the ONE implementation — batch and single paths share it)."""
     img_area = float(binary.shape[0] * binary.shape[1])
-    large_rect = False
     for c in cnt.find_external_contours(binary):
         if cnt.contour_area(c) < 0.3 * img_area:
             continue
         approx = cnt.approx_poly_dp(c, 0.02 * cnt.arc_length(c, True), True)
         if len(approx) == 4:
-            large_rect = True
-            break
-    return float(white_ratio), int(line_count), large_rect
+            return True
+    return False
+
+
+def _warn_overflow():
+    import warnings
+    warnings.warn("hough edge budget overflowed on a classifier cue "
+                  "image: line_count is an undercount", RuntimeWarning)
+
+
+def _priority_rule(fc: int, white_ratio: float, lines_count: int,
+                   large_rect: bool, bmean: float) -> str:
+    """classification.py:97-116 decision ladder (shared by the single and
+    batch forms so the thresholds cannot desynchronize)."""
+    if fc > 0:
+        return "face"
+    if white_ratio >= 0.5 and (lines_count >= 50 or large_rect):
+        return "document"
+    return "nightscape" if bmean < 80.0 else "landscape"
+
+
+def _weighted_rule(fc: int, white_ratio: float, lines_count: int,
+                   large_rect: bool, bmean: float):
+    """AI_classification.py:115-149 additive scores -> (label, probs)
+    (shared by the single and batch forms)."""
+    scores: Dict[str, float] = {k: 0.0 for k in LABELS}
+    if fc > 0:
+        scores["face"] += 1.0 + 0.5 * min(fc, 3)
+    scores["document"] += (white_ratio - 0.5) * 2.0
+    if lines_count >= 50:
+        scores["document"] += 0.5
+    if large_rect:
+        scores["document"] += 0.5
+    if bmean < 80:
+        scores["nightscape"] += (80 - bmean) / 80.0
+    else:
+        scores["landscape"] += (bmean - 80) / 80.0
+    label = max(scores.items(), key=lambda kv: kv[1])[0]
+    total = sum(v for v in scores.values() if v > 0) or 1.0
+    probs = {k: max(v, 0.0) / total for k, v in scores.items()}
+    return label, probs
+
+
+def document_cues(rgb: np.ndarray) -> Tuple[float, int, bool]:
+    """classification.py:63-91 document_score: (white_ratio, lines, rect)."""
+    white_ratio, line_count, _, binary, overflow, _ = _device_cues(
+        jnp.asarray(rgb))
+    if bool(overflow):
+        _warn_overflow()
+    return (float(white_ratio), int(line_count),
+            _large_rect(np.asarray(binary)))
 
 
 def classify_priority(rgb: np.ndarray) -> str:
     """classification.py:97-116 classify_image: face > document >
     brightness split at 80."""
     gray = np.asarray(colorops.rgb_to_gray(jnp.asarray(rgb)))
-    if len(detect_faces(gray)) > 0:
-        return "face"
+    fc = len(detect_faces(gray))
+    if fc > 0:
+        return "face"  # skip the cue program entirely, like the reference
     white_ratio, lines_count, large_rect = document_cues(rgb)
-    if white_ratio >= 0.5 and (lines_count >= 50 or large_rect):
-        return "document"
-    return "nightscape" if float(gray.mean()) < 80.0 else "landscape"
+    return _priority_rule(fc, white_ratio, lines_count, large_rect,
+                          float(gray.mean()))
 
 
 def classify_weighted(rgb: np.ndarray) -> Tuple[str, Dict[str, float]]:
     """AI_classification.py:115-149 classify_heuristic: additive scores,
     argmax label, positive scores normalized into display probs."""
     gray = np.asarray(colorops.rgb_to_gray(jnp.asarray(rgb)))
-    scores: Dict[str, float] = {k: 0.0 for k in LABELS}
-
     fc = len(detect_faces(gray))
-    if fc > 0:
-        scores["face"] += 1.0 + 0.5 * min(fc, 3)
-
     white_ratio, lines_count, large_rect = document_cues(rgb)
-    scores["document"] += (white_ratio - 0.5) * 2.0
-    if lines_count >= 50:
-        scores["document"] += 0.5
-    if large_rect:
-        scores["document"] += 0.5
-
-    bmean = float(gray.mean())
-    if bmean < 80:
-        scores["nightscape"] += (80 - bmean) / 80.0
-    else:
-        scores["landscape"] += (bmean - 80) / 80.0
-
-    label = max(scores.items(), key=lambda kv: kv[1])[0]
-    total = sum(v for v in scores.values() if v > 0) or 1.0
-    probs = {k: max(v, 0.0) / total for k, v in scores.items()}
-    return label, probs
+    return _weighted_rule(fc, white_ratio, lines_count, large_rect,
+                          float(gray.mean()))
 
 
 # ---------------------------------------------------------------------------
@@ -117,76 +144,45 @@ def classify_weighted(rgb: np.ndarray) -> Tuple[str, Dict[str, float]]:
 
 def _batch_cues(rgbs):
     """Device cues for a list of images: same-shape groups run as ONE
-    vmapped program; Haar faces run as one batched cascade pass.
-    Returns per-image (gray, face_count, white_ratio, line_count, rect)."""
+    vmapped program (which also yields the grayscale, so Haar needs no
+    per-image rgb_to_gray dispatches — each was a tunnel round trip);
+    Haar faces run as one batched cascade pass afterwards.
+    Returns per-image (bmean, face_count, white_ratio, line_count, rect)."""
     arrs = [np.asarray(r) for r in rgbs]
-    grays = [np.asarray(colorops.rgb_to_gray(jnp.asarray(a))) for a in arrs]
-    faces = detect_faces_batch(grays)
-
-    cues = [None] * len(arrs)
+    n = len(arrs)
+    grays = [None] * n
+    wrs = [0.0] * n
+    lcs = [0] * n
+    rects = [False] * n
     by_shape: Dict[tuple, list] = {}
     for i, a in enumerate(arrs):
         by_shape.setdefault(a.shape, []).append(i)
     for shape, idxs in by_shape.items():
         stack = jnp.asarray(np.stack([arrs[i] for i in idxs]))
-        wr, lc, _, binary, ovf = jax.vmap(_device_cues)(stack)
+        wr, lc, _, binary, ovf, gray = jax.vmap(_device_cues)(stack)
         if bool(np.asarray(ovf).any()):
-            import warnings
-            warnings.warn("hough edge budget overflowed on a classifier "
-                          "cue image: line_count is an undercount",
-                          RuntimeWarning)
-        wr, lc, binary = np.asarray(wr), np.asarray(lc), np.asarray(binary)
+            _warn_overflow()
+        wr, lc = np.asarray(wr), np.asarray(lc)
+        binary, gray = np.asarray(binary), np.asarray(gray)
         for j, i in enumerate(idxs):
-            img_area = float(binary[j].shape[0] * binary[j].shape[1])
-            large_rect = False
-            for c in cnt.find_external_contours(binary[j]):
-                if cnt.contour_area(c) < 0.3 * img_area:
-                    continue
-                approx = cnt.approx_poly_dp(
-                    c, 0.02 * cnt.arc_length(c, True), True)
-                if len(approx) == 4:
-                    large_rect = True
-                    break
-            cues[i] = (grays[i], len(faces[i]), float(wr[j]), int(lc[j]),
-                       large_rect)
-    return cues
+            grays[i] = gray[j]
+            wrs[i], lcs[i] = float(wr[j]), int(lc[j])
+            rects[i] = _large_rect(binary[j])
+    faces = detect_faces_batch(grays)
+    return [(float(grays[i].mean()), len(faces[i]), wrs[i], lcs[i],
+             rects[i]) for i in range(n)]
 
 
 def classify_priority_batch(rgbs) -> list:
     """classify_priority over a list of images: one vmapped cue program
     per shape group + one batched Haar pass (identical labels to the
     per-image form)."""
-    out = []
-    for gray, fc, white_ratio, lines_count, large_rect in _batch_cues(rgbs):
-        if fc > 0:
-            out.append("face")
-        elif white_ratio >= 0.5 and (lines_count >= 50 or large_rect):
-            out.append("document")
-        else:
-            out.append("nightscape" if float(gray.mean()) < 80.0 else "landscape")
-    return out
+    return [_priority_rule(fc, wr, lc, rect, bmean)
+            for bmean, fc, wr, lc, rect in _batch_cues(rgbs)]
 
 
 def classify_weighted_batch(rgbs) -> list:
     """classify_weighted over a list of images (batched cues + Haar);
     returns [(label, probs), ...] identical to the per-image form."""
-    out = []
-    for gray, fc, white_ratio, lines_count, large_rect in _batch_cues(rgbs):
-        scores: Dict[str, float] = {k: 0.0 for k in LABELS}
-        if fc > 0:
-            scores["face"] += 1.0 + 0.5 * min(fc, 3)
-        scores["document"] += (white_ratio - 0.5) * 2.0
-        if lines_count >= 50:
-            scores["document"] += 0.5
-        if large_rect:
-            scores["document"] += 0.5
-        bmean = float(gray.mean())
-        if bmean < 80:
-            scores["nightscape"] += (80 - bmean) / 80.0
-        else:
-            scores["landscape"] += (bmean - 80) / 80.0
-        label = max(scores.items(), key=lambda kv: kv[1])[0]
-        total = sum(v for v in scores.values() if v > 0) or 1.0
-        probs = {k: max(v, 0.0) / total for k, v in scores.items()}
-        out.append((label, probs))
-    return out
+    return [_weighted_rule(fc, wr, lc, rect, bmean)
+            for bmean, fc, wr, lc, rect in _batch_cues(rgbs)]

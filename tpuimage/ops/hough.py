@@ -225,6 +225,34 @@ def band_compact_coords(edges: jnp.ndarray, max_edges: int,
     return xs_t, ys_t, counts
 
 
+def theta_windows(h: int, w: int, c_mid: int, rho_base: int, rho_bins: int,
+                  lo_bins: int, theta_bins: int = 180):
+    """PER-THETA rho windows for the vote kernel: any single theta reaches
+    only [(w-1)*min(cos,0), (w-1)*max(cos,0) + (h-1)*sin] (~hypot bins at
+    the diagonal) — ~1.5x narrower than the all-theta union the static
+    clip pays. The kernel votes into per-theta re-based windows and
+    shifts them back exactly (pallas_kernels.unpack).
+
+    Returns (win0, span): win0[t] is theta t's lo_bins-aligned hi-block
+    offset within the clipped [rho_base, rho_base+rho_bins) space (tuple
+    of ints, jit-static), span the static block count. The ONE
+    implementation of this math — benchmarks and tests must call it, not
+    re-derive it (round-3 review finding)."""
+    th_np = np.arange(theta_bins) * (np.pi / theta_bins)
+    ct_np, st_np = np.cos(th_np), np.sin(th_np)
+    rmin = (w - 1) * np.minimum(ct_np, 0.0)
+    rmax = (w - 1) * np.maximum(ct_np, 0.0) + (h - 1) * st_np
+    gmin = np.clip(np.floor(rmin) - 1 + c_mid - rho_base, 0,
+                   rho_bins - 1).astype(np.int64)
+    gmax = np.clip(np.ceil(rmax) + 1 + c_mid - rho_base, 0,
+                   rho_bins - 1).astype(np.int64)
+    win0 = gmin // lo_bins
+    span = int((gmax // lo_bins + 1 - win0).max())
+    gb = (rho_bins + lo_bins - 1) // lo_bins
+    win0 = np.minimum(win0, gb - span)
+    return tuple(int(v) for v in win0), span
+
+
 @functools.partial(jax.jit, static_argnames=("rho", "theta_bins", "max_edges",
                                               "impl", "return_overflow"))
 def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
@@ -269,36 +297,22 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
         rho_base = max(c_mid - (w - 1) - 1, 0)
         rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, h - 1))) + 1, numrho - 1)
         rho_bins = rho_hi - rho_base + 1
-        # PER-THETA windows: any single theta reaches only
-        # [(w-1)*min(cos,0), (w-1)*max(cos,0) + (h-1)*sin] (~hypot bins at
-        # the diagonal) — ~1.5x narrower than the all-theta union the
-        # static clip pays. The kernel votes into per-theta re-based
-        # windows and shifts them back exactly (pallas_kernels.unpack).
-        th_np = np.arange(theta_bins) * (np.pi / theta_bins)
-        ct_np, st_np = np.cos(th_np), np.sin(th_np)
-        rmin = (w - 1) * np.minimum(ct_np, 0.0)
-        rmax = (w - 1) * np.maximum(ct_np, 0.0) + (h - 1) * st_np
-        gmin = np.clip(np.floor(rmin) - 1 + c_mid - rho_base, 0,
-                       rho_bins - 1).astype(np.int64)
-        gmax = np.clip(np.ceil(rmax) + 1 + c_mid - rho_base, 0,
-                       rho_bins - 1).astype(np.int64)
-        lo_b = _HOUGH_LO
-        win0 = gmin // lo_b
-        span = int((gmax // lo_b + 1 - win0).max())
-        gb = (rho_bins + lo_b - 1) // lo_b
-        win0 = np.minimum(win0, gb - span)
+        win0, span = theta_windows(h, w, c_mid, rho_base, rho_bins,
+                                   _HOUGH_LO, theta_bins)
         # rows=128 measured fastest with windows for A4 pages (micro_hough:
         # 6.0 ms static clip/rows64 -> 4.3 ms wins/rows128 at batch 8). On
-        # the theta-inner path (small cue images, kk <= 128) the chunk is
-        # mostly padding: real band counts are ~8-30, so rows=32 quarters
-        # the per-theta one-hot compare work (the VPU cost that dominates
-        # tiny images) while the dynamic trip count stays 1.
+        # the theta-inner path (small cue images, kk <= 384 = the
+        # classifier cue budget on 256x256 inputs) the chunk is mostly
+        # padding: real band counts are ~8-30, so rows=32 quarters the
+        # per-theta one-hot compare work (the VPU cost that dominates tiny
+        # images) while the dynamic trip count stays 1. Keep this
+        # threshold == pallas_kernels._THETA_INNER_MAX_KB.
         kk_est = min(max(1, k // 128), -(-(h * w) // 128))
-        rows = 128 if kk_est > 128 else 32
+        rows = 128 if kk_est > 384 else 32
         acc = hough_votes_pallas(xs_t, ys_t, counts, numrho, theta_bins,
                                  interpret=not on_tpu, rho_base=rho_base,
                                  rho_bins=rho_bins, rows=rows,
-                                 theta_wins=tuple(int(v) for v in win0),
+                                 theta_wins=win0,
                                  win_hi=span)
         return (acc, overflow) if return_overflow else acc
 

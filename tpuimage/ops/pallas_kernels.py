@@ -425,11 +425,12 @@ HOUGH_POISON_Y = 1.0e9
 # kb row-count threshold below which the theta loop runs INSIDE one grid
 # step: for small edge sets (tiny classifier-cue images) the per-grid-step
 # machinery dominates the voting work (measured: 12x 256x256 cue images
-# 6.5 ms as 2160 grid steps). 256 so the classifier's 128*h cue budget
-# (kb = 256 on 256x256 images) stays on this path — the in-kernel trip
-# count is dynamic (ceil(max_band_count / rows)), so the wider budget
-# costs nothing when real band counts are small.
-_THETA_INNER_MAX_KB = 256
+# 6.5 ms as 2160 grid steps). 384 so the classifier's cue budget
+# (kb = 288-320 on 256x256 images after the noise-density bump) stays on
+# this path — the in-kernel trip count is dynamic
+# (ceil(max_band_count / rows)), so the wider budget costs nothing when
+# real band counts are small.
+_THETA_INNER_MAX_KB = 384
 
 
 @functools.partial(jax.jit, static_argnames=("numrho", "theta_bins",

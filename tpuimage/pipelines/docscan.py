@@ -446,8 +446,11 @@ def docscan_post_warp_batch(warped_batch: jnp.ndarray, config: DocScanConfig):
 @functools.partial(jax.jit, static_argnames=("config",))
 def docscan_post_warp_batch_serve(warped_batch: jnp.ndarray,
                                   config: DocScanConfig):
-    """Serving form of docscan_post_warp_batch: returns ONLY
-    {packed, clean, deskew_angle, deskew_overflow}. The full-stage form
+    """Serving form of docscan_post_warp_batch: returns {buf, clean},
+    where ``buf`` is a flat uint8 side-channel holding, in order, the
+    4*b bitcast bytes of the f32 deskew angles, b overflow bytes, and the
+    8-pixels/byte bit-packed clean pages (decoded only by
+    _post_warp_serve_host — keep the layouts in sync). The full-stage form
     materializes 7 full-resolution stage arrays to HBM per dispatch even
     when the caller wants just the final page (jit outputs cannot be
     dead-coded); this one lets XLA drop everything but the clean chain,

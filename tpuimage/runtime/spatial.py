@@ -13,7 +13,12 @@ This module adds the missing pieces:
 - :func:`night_gray_spatial` — the full NightLandscapeEnhancement grayscale
   pipeline (median3 + CLAHE 2.0 8x8; NightLandscapeEnhancement.py:38-55)
   running H-sharded across a mesh axis, BIT-IDENTICAL to the unsharded
-  :func:`tpuimage.pipelines.night.night_gray`:
+  pipeline at the SAME clahe apply path (the matrix blend — what
+  tests/test_runtime.py asserts full-image equality against). Note the
+  unsharded night_gray auto-dispatches clahe to the Pallas slab kernel
+  on TPU (gather on CPU), each within the documented ±1 LSB of the
+  matrix path — so sharded-vs-night_gray on real hardware is ±1 LSB at
+  isolated cvRound boundaries, while sharded-vs-matrix is exact:
 
   * median3: 1-row replicate halo exchange (cv2 BORDER_REPLICATE), crop.
   * CLAHE: tile histograms are LOCAL when shard boundaries align with tile
@@ -89,7 +94,9 @@ def night_gray_spatial(gray: jnp.ndarray, mesh: Mesh,
     Requirements (asserted): H and W divisible by the tile grid, and
     tiles_y divisible by the axis size so shard boundaries fall on tile
     boundaries (8 tiles over 1/2/4/8 shards — every mesh the repo runs).
-    Returns the same stage dict as night_gray, bit-identical.
+    Returns the same stage dict as night_gray; bit-identical to the
+    matrix-blend clahe path (see module docstring for the ±1 LSB caveat
+    vs night_gray's backend-dispatched clahe).
     """
     h, w = int(gray.shape[0]), int(gray.shape[1])
     ndev = mesh.shape[space_axis]
