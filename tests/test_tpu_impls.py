@@ -10,6 +10,7 @@ import numpy as np
 import cv2
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from tpuimage.ops import histogram as hg
@@ -204,6 +205,23 @@ class TestHoughPallas:
             for x, y in zip(a[:3], b[:3]):
                 np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
             assert bool(a[3]) == bool(b[3])
+
+    def test_rank_compaction_under_vmap(self, rng):
+        """The fused docscan path calls compaction under vmap: the rank
+        kernel must keep flat-parity when batched (pallas_call lifted to
+        a leading grid dim)."""
+        batch = (rng.random((3, 240, 320)) < 0.1).astype(np.uint8) * 255
+        k = 240 * 320 // 4
+        xs, ys, counts = jax.jit(jax.vmap(
+            lambda e: hough_mod.band_compact_coords(e, k, impl="rank")))(
+                jnp.asarray(batch))
+        for i in range(3):
+            a = hough_mod.band_compact_coords(jnp.asarray(batch[i]), k,
+                                              impl="flat")
+            np.testing.assert_array_equal(np.asarray(xs[i]), np.asarray(a[0]))
+            np.testing.assert_array_equal(np.asarray(ys[i]), np.asarray(a[1]))
+            np.testing.assert_array_equal(np.asarray(counts[i]),
+                                          np.asarray(a[2]))
 
     def test_twostage_group_cap_overflows_loudly(self):
         """A dense horizontal stripe packs >cap edges into single groups:
