@@ -306,7 +306,14 @@ def _deskew_angle(binary: jnp.ndarray, canny_low: int, canny_high: int,
     angle is an undercount statistic (never observed on real pages —
     budgets are ~1.5-9x above measured Canny densities — but dense
     synthetic inputs now fail loudly instead of deskewing wrong)."""
-    edges = canny(binary, canny_low, canny_high)
+    # impl="dilate": the input is an already-binarized page, so nearly
+    # every Canny candidate clears the high threshold and the hysteresis
+    # fixpoint converges in ONE body iteration (measured on the A4
+    # weighted binary — both schedules ran exactly 1). The line-scan
+    # schedule's win is fewer iterations on long weak chains of natural
+    # images; at equal iterations its 8 associative scans per body only
+    # add cost.
+    edges = canny(binary, canny_low, canny_high, impl="dilate")
     med, overflow = hough_fold_median_angle(edges, threshold=150,
                                             return_overflow=True,
                                             max_edges=max_edges)
