@@ -119,7 +119,12 @@ def _localize_device(rgb: jnp.ndarray, canny_low: int, canny_high: int):
     """Device part of localize_document (DocScanner.py:78-81): Canny edges +
     deterministic Hough segments (threshold 80, minLineLength 80)."""
     gray = colorops.rgb_to_gray(rgb)
-    edges = canny(gray, canny_low, canny_high)
+    # impl="dilate": document photos have diagonal-heavy weak chains where
+    # the dilate schedule's 8 hops/iteration beat whole-run line scans
+    # (document1: 7 vs 11 fixpoint iterations, and a dilate body is ~3x
+    # cheaper). The line-scan default is for long H/V runs of natural
+    # scenes (classify cues: 24-256 dilate iterations vs 5-21).
+    edges = canny(gray, canny_low, canny_high, impl="dilate")
     segs, ok = hough_lines_p_det(edges, threshold=80, min_line_length=80.0,
                                  max_lines=128)
     return edges, segs, ok
