@@ -670,11 +670,14 @@ def rank_extract_pallas(rank: jnp.ndarray, mask: jnp.ndarray, kk: int,
 
     sentinel = jnp.int32(kk_pad)  # never matches any extracted k
     key = jnp.where(mask, rank, sentinel).astype(jnp.int32)
+    # (n_slabs, 1) 2-D SMEM tables: the proven layout (the vote kernel's
+    # trig/shift tables — 1-D/per-step SMEM shapes have failed Mosaic's
+    # block checks before)
     ks = jnp.where(mask, rank, 2 ** 30).reshape(n_slabs, _RANK_PSLAB, nb)
-    smin = jnp.min(ks, axis=(1, 2)).astype(jnp.int32)
+    smin = jnp.min(ks, axis=(1, 2)).astype(jnp.int32).reshape(n_slabs, 1)
     smax = jnp.max(jnp.where(mask, rank, -1).reshape(n_slabs, _RANK_PSLAB,
                                                      nb),
-                   axis=(1, 2)).astype(jnp.int32)
+                   axis=(1, 2)).astype(jnp.int32).reshape(n_slabs, 1)
 
     def kernel(smin_ref, smax_ref, key_ref, out_ref):
         out_ref[:] = jnp.zeros((kk_pad, _HOUGH_BANDS), jnp.int32)
@@ -684,8 +687,8 @@ def rank_extract_pallas(rank: jnp.ndarray, mask: jnp.ndarray, kk: int,
             kc = i % n_kch
             k0 = kc * _RANK_KCHUNK
 
-            @pl.when((smin_ref[s] < k0 + _RANK_KCHUNK)
-                     & (smax_ref[s] >= k0))
+            @pl.when((smin_ref[s, 0] < k0 + _RANK_KCHUNK)
+                     & (smax_ref[s, 0] >= k0))
             def _():
                 slab = key_ref[pl.ds(s * _RANK_PSLAB, _RANK_PSLAB), :]
                 piota = (jax.lax.broadcasted_iota(
