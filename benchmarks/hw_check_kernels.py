@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 what = set(sys.argv[1:]) or {"bilateral", "hough", "lab", "clahe", "rank",
-                             "pack2"}
+                             "pack2", "blackhat", "inkmask", "fusedpre"}
 
 
 def timeit(fn, n=5):
@@ -115,6 +115,71 @@ def main():
         tg = timeit(lambda: np.asarray(f_g(xs_t, ys_t, counts))[0, 0])
         t2 = timeit(lambda: np.asarray(f_2(xs_t, ys_t, counts))[0, 0])
         print(f"vote grid {tg*1e3:.2f} ms  pack2 {t2*1e3:.2f} ms")
+
+    if "blackhat" in what:
+        from tpuimage.ops.morphology import morph_blackhat, structuring_element
+        img = rng.integers(0, 256, (1200, 849), np.uint8)
+        x = jnp.asarray(img)
+        se = structuring_element("rect", (9, 19))
+        f_x = jax.jit(lambda a: morph_blackhat(a, se, impl="xla"))
+        f_p = jax.jit(lambda a: morph_blackhat(a, se, impl="pallas"))
+        a = np.asarray(f_x(x))
+        print("blackhat xla ok")
+        b = np.asarray(f_p(x))
+        print("blackhat pallas ok, equal:", np.array_equal(a, b))
+        tx = timeit(lambda: np.asarray(f_x(x))[0, 0])
+        tp = timeit(lambda: np.asarray(f_p(x))[0, 0])
+        print(f"blackhat xla {tx*1e3:.2f} ms  pallas {tp*1e3:.2f} ms")
+
+    if "inkmask" in what:
+        from tpuimage.ops.threshold import threshold_binary
+        from tpuimage.ops.arith import max_u8
+        from tpuimage.ops.morphology import dilate, structuring_element
+        from tpuimage.ops.pallas_kernels import inkmask_weighted_pallas
+        h, w = 1200, 849
+        sub = jnp.asarray(rng.integers(0, 256, (h, w), np.uint8))
+        bh = jnp.asarray(rng.integers(0, 256, (h, w), np.uint8))
+        adapt = jnp.asarray((rng.integers(0, 2, (h, w)) * 255).astype(np.uint8))
+
+        def ops_path(s, b2, ad):
+            m = max_u8(threshold_binary(s, 37.0), threshold_binary(b2, 101.0))
+            m = dilate(m, structuring_element("rect", (2, 2)))
+            return m, jnp.where(m == 0, jnp.uint8(255), ad)
+
+        f_x = jax.jit(ops_path)
+        f_p = jax.jit(lambda s, b2, ad: inkmask_weighted_pallas(
+            s, b2, ad, jnp.float32(37.0), jnp.float32(101.0), iters=1))
+        a = [np.asarray(v) for v in f_x(sub, bh, adapt)]
+        print("inkmask xla ok")
+        b = [np.asarray(v) for v in f_p(sub, bh, adapt)]
+        print("inkmask pallas ok, equal:",
+              all(np.array_equal(x_, y_) for x_, y_ in zip(a, b)))
+        tx = timeit(lambda: np.asarray(f_x(sub, bh, adapt)[1])[0, 0])
+        tp = timeit(lambda: np.asarray(f_p(sub, bh, adapt)[1])[0, 0])
+        print(f"inkmask xla {tx*1e3:.2f} ms  pallas {tp*1e3:.2f} ms")
+
+    if "fusedpre" in what:
+        # whole pre-deskew block, ops vs fused epilogue+blackhat, on the
+        # real golden-config page geometry (random content exercises the
+        # same program shapes)
+        from tpuimage.pipelines import docscan
+        cfg = docscan.GUI_DOCUMENT_CONFIG
+        page = jnp.asarray(rng.integers(0, 256, (1200, 849, 3), np.uint8))
+        f_x = jax.jit(lambda a: docscan._pre_deskew_stages(a, cfg,
+                                                           impl="xla"))
+        f_p = jax.jit(lambda a: docscan._pre_deskew_stages(a, cfg,
+                                                           impl="pallas"))
+        a = {k: np.asarray(v) for k, v in f_x(page).items()}
+        print("fusedpre xla ok")
+        b = {k: np.asarray(v) for k, v in f_p(page).items()}
+        for k in a:
+            d = (a[k].astype(int) != b[k].astype(int))
+            print(f"  stage {k:9s} equal: {not d.any()}"
+                  + ("" if not d.any() else f"  ({d.mean():.2e} frac)"))
+        tx = timeit(lambda: np.asarray(f_x(page)["weighted"])[0, 0])
+        tp = timeit(lambda: np.asarray(f_p(page)["weighted"])[0, 0])
+        print(f"pre-deskew ops {tx*1e3:.2f} ms  fused {tp*1e3:.2f} ms "
+              f"(single image, RTT-bound — see r3_battery for in-jit reps)")
 
     if "clahe" in what:
         from tpuimage.ops.histogram import clahe

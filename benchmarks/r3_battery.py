@@ -6,9 +6,11 @@ Sections:
   1. compaction: flat vs twostage vs rank (the sort-free rank extraction)
   2. vote kernel: production grid+wins vs theta_pack=2
   3. canny hysteresis: dilate vs linescan on the classify cue batch
-  4. fused docscan program at batch 8 (current production defaults)
-  5. batch scaling 8/16/32 for the fused program
-  6. roofline arithmetic for the vote kernel (printed from measured dims)
+  4. prechain: pre-deskew block, plain ops vs fused Pallas
+     blackhat/ink-mask kernels (+ hardware parity)
+  5. fused docscan program at batch 8 (current production defaults)
+  6. batch scaling 8/16/32 for the fused program
+  7. roofline arithmetic for the vote kernel (printed from measured dims)
 
 All timings: in-jit chained reps (data dependency threaded through each
 iteration), full-sum tokens, all-batch perturbation — see BASELINE.md
@@ -257,6 +259,44 @@ def sec_fused(batches=(8,)):
                   f"{str(e)[:300]}", flush=True)
 
 
+def sec_prechain():
+    """Pre-deskew block (illumination -> weighted binary), ops vs fused
+    Pallas epilogue+blackhat, batch 8 — the round-2 VERDICT directive-2
+    lever (bar: <= ~3 ms for the whole non-deskew block)."""
+    from tpuimage.pipelines import docscan
+    from PIL import Image
+    with Image.open("/root/reference/public/DIP test/document1.jpeg") as im:
+        page = np.asarray(im.convert("RGB").resize((849, 1200),
+                                                   Image.BILINEAR),
+                          dtype=np.uint8)
+    cfg = docscan.GUI_DOCUMENT_CONFIG
+    batch = jnp.asarray(np.broadcast_to(page, (BATCH,) + page.shape).copy())
+
+    def perturb(b_, tok):
+        return b_.at[:, 0, 0, 0].set((tok % 251).astype(jnp.uint8))
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        def op(b, impl=impl):
+            st = jax.vmap(lambda im_: docscan._pre_deskew_stages(
+                im_, cfg, impl=impl))(b)
+            # consume every stage output (pitfall 3): illum/inkmask/adapt
+            # feed nothing else in this harness
+            return sum(v.astype(jnp.int32).sum() for v in st.values())
+        try:
+            dt = chained(op, batch, perturb)
+            print(f"prechain[{impl:6s}] {dt*1e3:7.2f} ms", flush=True)
+            outs[impl] = np.asarray(jax.jit(jax.vmap(
+                lambda im_: docscan._pre_deskew_stages(im_, cfg, impl=impl)
+                ["weighted"]))(batch))
+        except Exception as e:
+            print(f"prechain[{impl:6s}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+    if len(outs) == 2:
+        print("hw parity fused == ops:",
+              np.array_equal(outs["xla"], outs["pallas"]), flush=True)
+
+
 def sec_roofline():
     edges = edge_batch()
     e0 = np.asarray(edges[0] > 0)
@@ -282,11 +322,12 @@ def sec_roofline():
 SECTIONS = {"compact": sec_compact, "vote": sec_vote, "canny": sec_canny,
             "fused": lambda: sec_fused((8,)),
             "scaling": lambda: sec_fused((8, 16, 32)),
+            "prechain": sec_prechain,
             "roofline": sec_roofline}
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["compact", "vote", "canny", "fused", "scaling",
-                             "roofline"]
+    names = sys.argv[1:] or ["compact", "vote", "canny", "prechain", "fused",
+                             "scaling", "roofline"]
     for nm in names:
         print(f"=== {nm} ===", flush=True)
         t0 = time.time()

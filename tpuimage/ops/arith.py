@@ -83,6 +83,14 @@ def add_weighted(a: jnp.ndarray, alpha: float, b: jnp.ndarray, beta: float,
     return saturate_u8(f32(a) * alpha + f32(b) * beta + gamma)
 
 
+def _minmax_scale(smin, smax, alpha: float, beta: float):
+    """The NORM_MINMAX affine coefficients, shared by the per-pixel and the
+    LUT forms so both compute the identical f32 expression."""
+    rng = smax - smin
+    scale = jnp.where(rng > 0, (beta - alpha) / jnp.where(rng > 0, rng, 1.0), 0.0)
+    return scale, alpha - smin * scale
+
+
 def normalize_minmax(img: jnp.ndarray, alpha: float = 0.0, beta: float = 255.0) -> jnp.ndarray:
     """cv2.normalize(..., alpha, beta, NORM_MINMAX) on uint8.
 
@@ -92,9 +100,25 @@ def normalize_minmax(img: jnp.ndarray, alpha: float = 0.0, beta: float = 255.0) 
     x = f32(img)
     smin = jnp.min(x)
     smax = jnp.max(x)
-    rng = smax - smin
-    scale = jnp.where(rng > 0, (beta - alpha) / jnp.where(rng > 0, rng, 1.0), 0.0)
-    return saturate_u8(x * scale + (alpha - smin * scale))
+    scale, offset = _minmax_scale(smin, smax, alpha, beta)
+    return saturate_u8(x * scale + offset)
+
+
+def normalize_minmax_lut(smin, smax, alpha: float = 0.0,
+                         beta: float = 255.0) -> jnp.ndarray:
+    """The NORM_MINMAX map as a 256-entry uint8 LUT: for a uint8 image with
+    the given min/max, ``lut[v] == normalize_minmax(img)[p]`` wherever
+    ``img[p] == v`` — the per-pixel result depends only on the pixel VALUE,
+    so the identical f32 expression over an iota reproduces it exactly.
+
+    The LUT is monotone non-decreasing (scale >= 0, rint/clip monotone),
+    which is what lets callers pull threshold tests and histograms back to
+    the raw plane (see pipelines/docscan._pre_deskew_stages): the
+    normalized plane itself never needs materializing.
+    """
+    scale, offset = _minmax_scale(f32(smin), f32(smax), alpha, beta)
+    v = jnp.arange(256, dtype=jnp.float32)
+    return saturate_u8(v * scale + offset)
 
 
 def in_range(img: jnp.ndarray, lower, upper) -> jnp.ndarray:

@@ -112,8 +112,31 @@ def morph_close(img: jnp.ndarray, se: np.ndarray, iterations: int = 1) -> jnp.nd
     return erode(dilate(img, se, iterations), se, iterations)
 
 
-def morph_blackhat(img: jnp.ndarray, se: np.ndarray, iterations: int = 1) -> jnp.ndarray:
-    """cv2.MORPH_BLACKHAT = close(src) - src, saturating (DocScanner.py:200)."""
+def morph_blackhat(img: jnp.ndarray, se: np.ndarray, iterations: int = 1,
+                   impl: str = "auto") -> jnp.ndarray:
+    """cv2.MORPH_BLACKHAT = close(src) - src, saturating (DocScanner.py:200).
+
+    impl: "pallas" forces the fused Pallas sliding-extreme kernel (2-D
+    odd-rect SEs at iterations=1: close + subtract in ONE VMEM pass instead
+    of ~2*(log kh + log kw) shifted full-image passes); "xla" forces the
+    log-step form. "auto" currently = "xla" on every backend: the kernel is
+    interpret-verified bit-identical (tests/test_fused_chain.py) but still
+    awaits hardware parity + timing (benchmarks/hw_check_kernels.py
+    blackhat, r3_battery.py prechain — TPU worker outage at build time);
+    flip auto to the winner once measured (CLAUDE.md runbook).
+    """
+    if impl == "pallas":
+        if iterations != 1:
+            raise ValueError("impl='pallas' supports only iterations=1")
+        import jax
+        from tpuimage.ops.pallas_kernels import (blackhat_pallas_applicable,
+                                                 blackhat_rect_pallas)
+        if not blackhat_pallas_applicable(img, se):
+            raise ValueError("impl='pallas' requires a 2-D image and a full "
+                             "odd-dimension rect SE within the VMEM budget")
+        kh, kw = np.asarray(se).shape
+        return blackhat_rect_pallas(
+            img, kw, kh, interpret=jax.default_backend() in ("cpu",))
     closed = morph_close(img, se, iterations)
     return saturate_u8(closed.astype(jnp.int32) - img.astype(jnp.int32))
 

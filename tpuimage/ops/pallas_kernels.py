@@ -1011,6 +1011,425 @@ def clahe_apply_pallas(gray: jnp.ndarray, luts: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Separable-conv chain kernels (docscan illumination / ink / adaptive)
+# ---------------------------------------------------------------------------
+
+
+def _tap_slab(ref, t: int, th: int, dy):
+    """(th, wp) view of ``ref`` rows [t*th + dy, t*th + dy + th) for a
+    TRACED dy: 8-aligned dynamic-sublane load one stripe taller, remainder
+    rotated in (the bilateral/sepconv kernels' proven Mosaic pattern)."""
+    base = (dy // 8) * 8
+    rem = dy - base
+    slab = ref[pl.ds(t * th + base, th + 8), :]
+    return pltpu.roll(slab, (th + 8) - rem, axis=0)[:th, :]
+
+
+def _vert_simple(ref, t, th, wp, kv_ref, n, acc_ref):
+    """acc[i] = sum_dy ref[t*th + i + dy] * kv[dy], order 0..n-1 (exact for
+    integer-valued f32 taps — order-free)."""
+    acc_ref[:] = jnp.zeros((th, wp), jnp.float32)
+
+    def body(i, _):
+        acc_ref[:] = acc_ref[:] + _tap_slab(ref, t, th, i) * kv_ref[i, 0]
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _horz_simple(vacc, wp, kh_ref, n, acc_ref):
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(j, _):
+        acc_ref[:] = (acc_ref[:]
+                      + pltpu.roll(vacc, wp - j, axis=1) * kh_ref[j, 0])
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _vert_symmetric(ref, t, th, wp, kv_ref, n, acc_ref):
+    """OpenCV's symmetric column-filter accumulation order (float paths):
+    acc = x[r]*k[r]; acc += (x[r-i] + x[r+i]) * k[r+i] for i = 1..r —
+    reproducing ops.filters._sepconv_valid_f32's f32 rounding sequence."""
+    r = n // 2
+    acc_ref[:] = _tap_slab(ref, t, th, r) * kv_ref[r, 0]
+
+    def body(i, _):
+        acc_ref[:] = acc_ref[:] + (
+            _tap_slab(ref, t, th, r - i) + _tap_slab(ref, t, th, r + i)
+        ) * kv_ref[r + i, 0]
+        return 0
+
+    jax.lax.fori_loop(1, r + 1, body, 0)
+
+
+def _horz_symmetric(vacc, wp, kh_ref, n, acc_ref):
+    r = n // 2
+    acc_ref[:] = pltpu.roll(vacc, wp - r, axis=1) * kh_ref[r, 0]
+
+    def body(i, _):
+        acc_ref[:] = acc_ref[:] + (
+            pltpu.roll(vacc, wp - (r - i), axis=1)
+            + pltpu.roll(vacc, wp - (r + i), axis=1)) * kh_ref[r + i, 0]
+        return 0
+
+    jax.lax.fori_loop(1, r + 1, body, 0)
+
+
+def _div255_round_half_even(num_u8, den):
+    """cv2.divide(num, den, scale=255) on int32 values: exact integer
+    round-half-to-even, den == 0 -> 0 (ops.arith.divide_u8 semantics).
+    Mosaic has no vector integer divide, so the quotient candidate comes
+    from an f32 divide and is corrected with exact int32 arithmetic (the
+    f32 estimate is within 1 of the true floor)."""
+    n = num_u8 * 255
+    d = jnp.maximum(den, 1)
+    q0 = jnp.floor(n.astype(jnp.float32) / d.astype(jnp.float32)
+                   ).astype(jnp.int32)
+    r0 = n - q0 * d
+    q0 = q0 + jnp.where(r0 < 0, -1, 0) + jnp.where(r0 >= d, 1, 0)
+    r0 = n - q0 * d
+    q = (q0 + (2 * r0 > d).astype(jnp.int32)
+         + ((2 * r0 == d) & (q0 % 2 == 1)).astype(jnp.int32))
+    q = jnp.where(den > 0, q, 0)
+    return jnp.clip(q, 0, 255)
+
+
+def _make_gauss_chain_kernel(th: int, wp: int, n: int, mode: str,
+                             idelta: int = 0, maxval: int = 255):
+    """Separable gaussian over one row band fused with the docscan stage
+    that consumes it (mode):
+      - "sub":    clip(blur_u8 - center, 0, 255)      (ink bg-subtract,
+                  DocScanner.py:184-186; Q8.8 integer taps)
+      - "divide": divide(center, blur_u8, scale=255)  (illumination divide,
+                  :154-156; Q8.8 integer taps)
+      - "subtract": clip(center - blur_u8, 0, 255)    (illum subtract :158)
+      - "adaptive": center - sat_u8(blur_f32) > -idelta ? maxval : 0
+                  (cv2.adaptiveThreshold GAUSSIAN_C, :167; float taps with
+                  OpenCV's symmetric accumulation order)
+    Q8.8 modes round (acc + 2^15) >> 16 exactly like ops.filters; all
+    integer paths are bit-exact, the adaptive float path reproduces the
+    XLA op order (hardware FMA parity checked by hw_check_kernels.py)."""
+
+    sym = mode == "adaptive"
+
+    def kernel(kv_ref, kh_ref, padded_ref, center_ref, out_ref,
+               vacc_ref, hacc_ref):
+        t = pl.program_id(0)
+        if sym:
+            _vert_symmetric(padded_ref, t, th, wp, kv_ref, n, vacc_ref)
+            _horz_symmetric(vacc_ref[:], wp, kh_ref, n, hacc_ref)
+        else:
+            _vert_simple(padded_ref, t, th, wp, kv_ref, n, vacc_ref)
+            _horz_simple(vacc_ref[:], wp, kh_ref, n, hacc_ref)
+        c = center_ref[:].astype(jnp.int32)
+        if mode == "adaptive":
+            mean = jnp.clip(jnp.rint(hacc_ref[:]), 0, 255).astype(jnp.int32)
+            out_ref[:] = jnp.where(c - mean > -idelta, maxval, 0)
+            return
+        blur = jnp.clip(jnp.floor((hacc_ref[:] + 32768.0) * (1.0 / 65536.0)),
+                        0, 255).astype(jnp.int32)
+        if mode == "sub":
+            out_ref[:] = jnp.clip(blur - c, 0, 255)
+        elif mode == "subtract":
+            out_ref[:] = jnp.clip(c - blur, 0, 255)
+        else:  # divide
+            out_ref[:] = _div255_round_half_even(c, blur)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "mode", "C",
+                                             "inverse", "maxval",
+                                             "interpret"))
+def gauss_chain_pallas(img: jnp.ndarray, ksize: int, mode: str,
+                       C: float = 0.0, inverse: bool = False,
+                       maxval: int = 255,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Gaussian blur of ``img`` fused with its consuming docscan stage —
+    see _make_gauss_chain_kernel for the modes. img: uint8 HW. Bit-exact
+    vs the corresponding ops composition for the integer modes
+    (tests/test_fused_chain.py); the adaptive mode reproduces
+    ops.threshold.adaptive_threshold's op order."""
+    import math
+    from tpuimage.ops.filters import gaussian_kernel_q8, get_gaussian_kernel
+    from tpuimage.core.borders import pad2d, BORDER_REFLECT_101, \
+        BORDER_REPLICATE
+
+    if mode == "adaptive":
+        k = get_gaussian_kernel(ksize).astype(np.float32)
+        border = BORDER_REPLICATE
+        idelta = math.ceil(C) if not inverse else math.floor(C)
+        if inverse:
+            raise NotImplementedError("inverse adaptive not fused")
+    else:
+        k = gaussian_kernel_q8(ksize).astype(np.float32)
+        border = BORDER_REFLECT_101
+        idelta = 0
+    r = ksize // 2
+    h, w = int(img.shape[0]), int(img.shape[1])
+    th = min(_BAND_ROWS, _round_up(h, 8))
+    hp = _round_up(h, th)
+    wp = _round_up(w + 2 * r, 128)
+    pf = pad2d(img.astype(jnp.float32), r, r, r, r, mode=border)
+    p = pad2d(pf, 0, hp - h + 8, 0, wp - (w + 2 * r), mode="edge")
+    center = pad2d(img.astype(jnp.int32), 0, hp - h, 0, wp - w, mode="edge")
+
+    kcol = jnp.asarray(k.reshape(-1, 1))
+    kernel = _make_gauss_chain_kernel(th, wp, ksize, mode, idelta, maxval)
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp // th,),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((hp + 2 * r + 8, wp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, wp), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th, wp), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((th, wp), jnp.float32),
+            pltpu.VMEM((th, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(kcol, kcol, p, center)
+    return out[:h, :w].astype(jnp.uint8)
+
+
+def gauss_chain_pallas_applicable(img, ksize: int) -> bool:
+    """VMEM-residency gate (same budget as the other band kernels)."""
+    if getattr(img, "ndim", 0) != 2:
+        return False
+    r = ksize // 2
+    h, w = int(img.shape[0]), int(img.shape[1])
+    th = min(_BAND_ROWS, _round_up(h, 8))
+    hp = _round_up(h, th)
+    wp = _round_up(w + 2 * r, 128)
+    return (hp + 2 * r + 8) * wp * 4 <= _VMEM_PADDED_BYTES
+
+
+# ---------------------------------------------------------------------------
+# Rect blackhat (close - src) — fused sliding-extreme kernel
+# ---------------------------------------------------------------------------
+
+
+def _sliding_extreme(g, n: int, size: int, axis: int, is_max: bool):
+    """Forward sliding max/min over a window of ``n`` along ``axis`` via
+    van Herk doubling on a VMEM-resident value: f[i] = ext(g[i..i+n-1]).
+    All shifts are static pltpu.roll rotations; callers guarantee the rows/
+    lanes the output is read from never reach wrapped positions."""
+    fn = jnp.maximum if is_max else jnp.minimum
+    if n == 1:
+        return g
+    m = 1
+    while m * 2 <= n:
+        g = fn(g, pltpu.roll(g, size - m, axis=axis))
+        m *= 2
+    if m < n:
+        g = fn(g, pltpu.roll(g, size - (n - m), axis=axis))
+    return g
+
+
+def _make_blackhat_kernel(th: int, slab: int, wp: int, kw: int, kh: int,
+                          h: int, w: int, cl: int):
+    """One grid step computes blackhat output rows [t*th, (t+1)*th).
+
+    cv2 MORPH_BLACKHAT border semantics: dilate treats out-of-image as 0,
+    erode as 255 (ops.morphology pads constants). Here the whole padded
+    image stays VMEM-resident; each band loads one (slab, wp) window and
+    runs both sliding-extreme passes in vregs — one HBM read + one write
+    replaces the ~2*(log kh + log kw) shifted full-image passes of the XLA
+    log-step form (measured ~1 ms of the batch-8 fused docscan program).
+    Out-of-image positions are realized with iota validity masks instead of
+    padding: d0 = where(valid, x, 0) before the dilate, and the dilated
+    slab's invalid positions are overwritten with 255 before the erode —
+    exactly the constant-pad values ops.morphology uses."""
+    ry, rx = kh // 2, kw // 2
+
+    def kernel(img_ref, out_ref):
+        t = pl.program_id(0)
+        x = img_ref[pl.ds(t * th, slab), :]
+        grow = (jax.lax.broadcasted_iota(jnp.int32, (slab, wp), 0)
+                + t * th - (kh - 1))
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (slab, wp), 1) - cl
+        valid = ((grow >= 0) & (grow < h)) & ((gcol >= 0) & (gcol < w))
+
+        d = _sliding_extreme(jnp.where(valid, x, 0), kh, slab, 0, True)
+        d = pltpu.roll(d, ry, axis=0)
+        d = _sliding_extreme(d, kw, wp, 1, True)
+        d = pltpu.roll(d, rx, axis=1)
+
+        e = _sliding_extreme(jnp.where(valid, d, 255), kh, slab, 0, False)
+        e = pltpu.roll(e, ry, axis=0)
+        e = _sliding_extreme(e, kw, wp, 1, False)
+        closed = pltpu.roll(e, rx, axis=1)
+
+        bh = jnp.clip(closed - x, 0, 255)
+        # band rows sit at slab-local [kh-1, kh-1+th): rotate to 0, slice
+        # aligned (a static misaligned value slice would relayout)
+        out_ref[:] = pltpu.roll(bh, slab - (kh - 1), axis=0)[:th, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("kw", "kh", "interpret"))
+def blackhat_rect_pallas(img: jnp.ndarray, kw: int, kh: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """cv2.morphologyEx(..., MORPH_BLACKHAT, rect (kw, kh)) on uint8 HW as
+    one fused Pallas pass — bit-identical to ops.morphology.morph_blackhat
+    (integer sliding extremes, same constant-border semantics; asserted by
+    tests/test_pallas.py and on hardware by benchmarks/hw_check_kernels.py).
+
+    The docscan ink-mask stage (DocScanner.py:196-204, vertical 9x19 rect)
+    is the production caller. Odd kw/kh only (the pipeline forces odd)."""
+    assert kw % 2 == 1 and kh % 2 == 1, "rect blackhat kernel wants odd dims"
+    h, w = int(img.shape[0]), int(img.shape[1])
+    th = min(_BAND_ROWS, _round_up(h, 8))
+    hp = _round_up(h, th)
+    # vertical reach: dilate then erode each look kh//2 both ways; the slab
+    # covers [t*th - (kh-1), t*th + th + (kh-1)] in image rows, stored with
+    # the image at padded row kh-1 so slab reads start 8-aligned at t*th
+    slab = _round_up(th + 2 * (kh - 1), 8)
+    cl = kw - 1  # horizontal margin >= max erode/dilate shift: no wrap hits
+    wp = _round_up(w + 2 * cl, 128)
+    p = jnp.pad(img.astype(jnp.int32),
+                ((kh - 1, (hp - h) + (slab - th) - (kh - 1) + 8),
+                 (cl, wp - w - cl)))
+
+    out = pl.pallas_call(
+        _make_blackhat_kernel(th, slab, wp, kw, kh, h, w, cl),
+        grid=(hp // th,),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        in_specs=[pl.BlockSpec((hp + slab - th + 8, wp), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((th, wp), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(p)
+    return out[:h, cl:cl + w].astype(jnp.uint8)
+
+
+def blackhat_pallas_applicable(img, se) -> bool:
+    """Hardware gate: 2-D uint8, full odd-dimension rect SE, padded image
+    within the VMEM residency budget."""
+    import numpy as np
+    if getattr(img, "ndim", 0) != 2:
+        return False
+    se = np.asarray(se)
+    kh, kw = se.shape
+    if not (se.all() and kh % 2 == 1 and kw % 2 == 1 and (kh > 1 or kw > 1)):
+        return False
+    h, w = int(img.shape[0]), int(img.shape[1])
+    th = min(_BAND_ROWS, _round_up(h, 8))
+    hp = _round_up(h, th)
+    slab = _round_up(th + 2 * (kh - 1), 8)
+    wp = _round_up(w + 2 * (kw - 1), 128)
+    return (hp + slab - th + 8) * wp * 4 <= _VMEM_PADDED_BYTES
+
+
+# ---------------------------------------------------------------------------
+# Docscan ink-mask epilogue — fused threshold/dilate/weighting kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_inkmask_kernel(th: int, wp: int, iters: int, h: int, w: int):
+    """One grid step computes ink-mask + weighted-binary rows
+    [t*th, (t+1)*th): the two raw-plane threshold compares
+    (pipelines.docscan._raw_otsu_threshold pullbacks), their max (= OR of
+    0/255 masks, DocScanner.py:207), ``iters`` iterations of the 2x2
+    anchor-(1,1) dilate (:211-212 — window [y-k..y, x-k..x] after k
+    iterations), and the mask-weighted binary (:338-339) in one VMEM pass.
+    The slab carries an 8-row/8-col halo (iters <= 8 asserted by the
+    caller); out-of-image mask positions are forced 0 (the dilate's
+    constant-pad semantics) via iota validity masks."""
+
+    def kernel(ts_ref, tb_ref, sub_ref, bh_ref, adapt_ref, mask_ref,
+               wgt_ref):
+        t = pl.program_id(0)
+        sub = sub_ref[pl.ds(t * th, th + 8), :]
+        bh = bh_ref[pl.ds(t * th, th + 8), :]
+        grow = (jax.lax.broadcasted_iota(jnp.int32, (th + 8, wp), 0)
+                + t * th - 8)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (th + 8, wp), 1) - 8
+        valid = ((grow >= 0) & (grow < h)) & ((gcol >= 0) & (gcol < w))
+
+        m = ((sub > ts_ref[0, 0]) | (bh > tb_ref[0, 0])) & valid
+        m = m.astype(jnp.int32) * 255
+        if iters > 0:
+            m = _sliding_extreme(m, iters + 1, th + 8, 0, True)
+            m = pltpu.roll(m, iters, axis=0)
+            m = _sliding_extreme(m, iters + 1, wp, 1, True)
+            m = pltpu.roll(m, iters, axis=1)
+        m = pltpu.roll(m, th, axis=0)[:th, :]   # slab-local rows [8, 8+th)
+        mask_ref[:] = m
+        wgt_ref[:] = jnp.where(m == 0, 255, adapt_ref[:])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def inkmask_weighted_pallas(sub_raw: jnp.ndarray, bh_raw: jnp.ndarray,
+                            adapt: jnp.ndarray, t_sub: jnp.ndarray,
+                            t_bh: jnp.ndarray, iters: int = 1,
+                            interpret: bool = False):
+    """(ink_mask, weighted) uint8 planes from the raw ink/blackhat planes,
+    their pulled-back Otsu thresholds, and the adaptive binary — the fused
+    docscan stage-06b epilogue (DocScanner.py:207-212,338-339). Integer
+    compares and sliding maxes only: bit-identical to the ops sequence
+    (threshold_binary + max_u8 + dilate(2x2) + where).
+
+    t_sub/t_bh: integer-valued thresholds (strict ``>`` compare), scalars.
+    iters: ink_dilate_iters, 0..8 (halo budget)."""
+    assert 0 <= iters <= 8
+    h, w = int(sub_raw.shape[0]), int(sub_raw.shape[1])
+    th = min(_BAND_ROWS, _round_up(h, 8))
+    hp = _round_up(h, th)
+    wp = _round_up(w + 16, 128)
+
+    def prep(x):
+        return jnp.pad(x.astype(jnp.int32), ((8, hp - h + 8), (8, wp - w - 8)))
+
+    ts = jnp.asarray(t_sub, jnp.int32).reshape(1, 1)
+    tb = jnp.asarray(t_bh, jnp.int32).reshape(1, 1)
+    full = pl.BlockSpec((hp + 16, wp), lambda t: (0, 0),
+                        memory_space=pltpu.VMEM)
+    band = pl.BlockSpec((th, wp), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    mask, wgt = pl.pallas_call(
+        _make_inkmask_kernel(th, wp, iters, h, w),
+        grid=(hp // th,),
+        out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+                   jax.ShapeDtypeStruct((hp, wp), jnp.int32)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            full, full, band,
+        ],
+        out_specs=(band, band),
+        interpret=interpret,
+    )(ts, tb, prep(sub_raw), prep(bh_raw),
+      jnp.pad(adapt.astype(jnp.int32), ((0, hp - h), (8, wp - w - 8))))
+    sl = (slice(None, h), slice(8, 8 + w))
+    return mask[sl].astype(jnp.uint8), wgt[sl].astype(jnp.uint8)
+
+
+def inkmask_pallas_applicable(img, iters: int) -> bool:
+    """Hardware gate for the fused ink-mask epilogue."""
+    if getattr(img, "ndim", 0) != 2 or not (0 <= iters <= 8):
+        return False
+    h, w = int(img.shape[0]), int(img.shape[1])
+    th = min(_BAND_ROWS, _round_up(h, 8))
+    hp = _round_up(h, th)
+    wp = _round_up(w + 16, 128)
+    # two full planes resident + banded adapt/outputs
+    return 2 * (hp + 16) * wp * 4 <= _VMEM_PADDED_BYTES
+
+
+# ---------------------------------------------------------------------------
 # 256-bin histograms — fused hi/lo one-hot kernel
 # ---------------------------------------------------------------------------
 

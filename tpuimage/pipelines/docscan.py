@@ -44,7 +44,8 @@ from tpuimage.core.dtypes import f32, saturate_u8
 from tpuimage.ops.bilateral import bilateral_filter
 from tpuimage.ops.filters import gaussian_blur_u8
 from tpuimage.ops import color as colorops
-from tpuimage.ops.arith import subtract_u8, divide_u8, normalize_minmax, max_u8
+from tpuimage.ops.arith import (subtract_u8, divide_u8, normalize_minmax,
+                                normalize_minmax_lut, max_u8)
 from tpuimage.ops.threshold import adaptive_threshold, threshold_binary
 from tpuimage.ops.histogram import hist256, otsu_from_hist
 from tpuimage.ops.morphology import structuring_element, erode, dilate, morph_close, morph_blackhat
@@ -325,22 +326,74 @@ def _deskew_angle(binary: jnp.ndarray, canny_low: int, canny_high: int,
     return jnp.where(jnp.abs(med) > max_rotate, 0.0, med), overflow
 
 
-def _pre_deskew_stages(warped_rgb: jnp.ndarray, config: DocScanConfig) -> Dict[str, jnp.ndarray]:
+def _raw_otsu_threshold(hist_raw: jnp.ndarray, mask_thresh_offset) -> jnp.ndarray:
+    """Threshold on a RAW uint8 plane equivalent to the reference's
+    Otsu(-offset) threshold of its NORM_MINMAX-normalized plane
+    (DocScanner.py:184-189,196-204) — without materializing the normalized
+    plane.
+
+    normalize_minmax is a monotone per-value u8->u8 map, so (a) the
+    histogram of the normalized plane is the raw histogram pushed through
+    the LUT, and (b) ``norm(x) > t`` pulls back to ``x > T`` with
+    ``T = #{v : lut[v] <= t} - 1``. Both are exact (the LUT is built from
+    the identical f32 expression; the push-forward is an integer-count
+    permutation-sum). This removes two full-image normalize passes + their
+    histogram re-reads per page — the normalized planes were never stage
+    outputs (only the masks are).
+
+    hist_raw: (256,) counts of the raw plane. Returns T as f32 (in
+    [-1, 255]) for threshold_binary's strict ``>`` compare.
+    """
+    nz = hist_raw > 0
+    smin = jnp.argmax(nz).astype(jnp.float32)
+    smax = (255 - jnp.argmax(nz[::-1])).astype(jnp.float32)
+    lut = normalize_minmax_lut(smin, smax)
+    # push-forward: hist_n[j] = sum_v hist_raw[v] * [lut[v] == j]; counts
+    # < 2^24 stay exact in f32 at HIGHEST precision (no bf16 rewrite)
+    oh = (lut.astype(jnp.int32)[:, None]
+          == jnp.arange(256, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    hist_n = jnp.matmul(f32(hist_raw)[None, :], oh,
+                        precision=jax.lax.Precision.HIGHEST)[0]
+    t_eff = jnp.maximum(jnp.round(otsu_from_hist(hist_n))
+                        - mask_thresh_offset, 0)
+    return (jnp.sum((f32(lut) <= t_eff).astype(jnp.int32)) - 1
+            ).astype(jnp.float32)
+
+
+def _pre_deskew_stages(warped_rgb: jnp.ndarray, config: DocScanConfig,
+                       impl: str = "auto") -> Dict[str, jnp.ndarray]:
     """Stages 04-06b (everything before the deskew rotation): illumination,
-    stretch, ink mask, adaptive threshold, mask weighting."""
+    stretch, ink mask, adaptive threshold, mask weighting.
+
+    impl steers the blackhat + the ink-mask EPILOGUE
+    (threshold/dilate/weighting): "pallas" forces the fused kernels, "xla"
+    the plain ops; identical integer results (tests/test_fused_chain.py).
+    "auto" currently equals "xla" pending hardware parity + timing of the
+    kernels (CLAUDE.md runbook; flip to the measured winner)."""
     c = config
     gray = colorops.rgb_to_gray(warped_rgb)
+    fused = impl == "pallas"
+    if fused:
+        from tpuimage.ops.pallas_kernels import (gauss_chain_pallas,
+                                                 gauss_chain_pallas_applicable)
+        interp = jax.default_backend() in ("cpu",)
+        if not gauss_chain_pallas_applicable(gray, c.mask_blur_ksize):
+            raise ValueError("fused gaussian chain not applicable here")
 
     # --- illumination correction (DocScanner.py:147-160) ---
     h, w = int(gray.shape[0]), int(gray.shape[1])
     base = max(15, int(round(min(h, w) * c.illum_blur_frac)))
     if base % 2 == 0:
         base += 1
-    bg = gaussian_blur_u8(gray, ksize=base)
-    if c.illum_method.lower() == "divide":
-        tmp = divide_u8(gray, bg, scale=255)
+    divide = c.illum_method.lower() == "divide"
+    if fused:
+        tmp = gauss_chain_pallas(gray, base,
+                                 "divide" if divide else "subtract",
+                                 interpret=interp)
     else:
-        tmp = subtract_u8(gray, bg)
+        bg = gaussian_blur_u8(gray, ksize=base)
+        tmp = divide_u8(gray, bg, scale=255) if divide \
+            else subtract_u8(gray, bg)
     illum = normalize_minmax(tmp)
 
     # --- contrast stretch (:171-172) ---
@@ -351,33 +404,60 @@ def _pre_deskew_stages(warped_rgb: jnp.ndarray, config: DocScanConfig) -> Dict[s
     stretched = illum
 
     # --- ink mask (:175-214) ---
+    # Both branches normalize, Otsu-threshold, and discard the normalized
+    # plane; the fused form histograms the RAW planes and pulls the
+    # thresholds back through the (monotone) normalize LUT instead — see
+    # _raw_otsu_threshold. Masks are bit-identical to the normalize-then-
+    # threshold sequence.
     mk = c.mask_blur_ksize + (c.mask_blur_ksize % 2 == 0)
-    ink_bg = gaussian_blur_u8(stretched, ksize=mk)
-    ink_sub = normalize_minmax(subtract_u8(ink_bg, stretched))
+    if fused:
+        sub_raw = gauss_chain_pallas(stretched, mk, "sub", interpret=interp)
+    else:
+        ink_bg = gaussian_blur_u8(stretched, ksize=mk)
+        sub_raw = subtract_u8(ink_bg, stretched)
 
     bk = max(c.blackhat_ksize, 3)
     bk += (bk % 2 == 0)
     bh_h = max(3, int(round(bk * c.blackhat_vertical_ratio)))
     bh_h += (bh_h % 2 == 0)
     se_vert = structuring_element("rect", (bk, bh_h))
-    bh = normalize_minmax(morph_blackhat(stretched, se_vert))
+    bh_raw = morph_blackhat(stretched, se_vert, impl=impl)
 
     # the two independent Otsu solves share one batched histogram dispatch
-    hists = jax.vmap(hist256)(jnp.stack([ink_sub, bh]))
-    t_sub, t_bh = (jnp.maximum(jnp.round(otsu_from_hist(hists[i]))
-                               - c.mask_thresh_offset, 0) for i in range(2))
-    mask_sub = threshold_binary(ink_sub, t_sub)
-    mask_bh = threshold_binary(bh, t_bh)
+    hists = jax.vmap(hist256)(jnp.stack([sub_raw, bh_raw]))
+    t_sub, t_bh = (_raw_otsu_threshold(hists[i], c.mask_thresh_offset)
+                   for i in range(2))
 
-    ink_mask = max_u8(mask_sub, mask_bh)
-    if c.ink_dilate_iters > 0:
-        ink_mask = dilate(ink_mask, structuring_element("rect", (2, 2)),
-                          iterations=c.ink_dilate_iters)
-
-    # --- adaptive binarize (:163-168) + mask weighting (:338-339) ---
+    # --- adaptive binarize (:163-168) ---
     bs = c.block_size + (c.block_size % 2 == 0)
-    base_bin = adaptive_threshold(stretched, 255, c.thresh_method, bs, c.C)
-    weighted = jnp.where(ink_mask == 0, jnp.uint8(255), base_bin)
+    if fused and c.thresh_method == "gaussian":
+        base_bin = gauss_chain_pallas(stretched, bs, "adaptive", C=c.C,
+                                      interpret=interp)
+    else:
+        base_bin = adaptive_threshold(stretched, 255, c.thresh_method, bs,
+                                      c.C)
+
+    # --- masks + dilate + mask weighting (:207-212, :338-339) ---
+    # impl="pallas" forces the fused epilogue kernel; "auto" stays on the
+    # ops path until hardware parity + timing land (CLAUDE.md runbook —
+    # same gating as morph_blackhat above).
+    if impl == "pallas":
+        from tpuimage.ops.pallas_kernels import (inkmask_pallas_applicable,
+                                                 inkmask_weighted_pallas)
+        if not inkmask_pallas_applicable(stretched, c.ink_dilate_iters):
+            raise ValueError("fused ink-mask epilogue not applicable here")
+        ink_mask, weighted = inkmask_weighted_pallas(
+            sub_raw, bh_raw, base_bin, t_sub, t_bh,
+            iters=c.ink_dilate_iters,
+            interpret=jax.default_backend() in ("cpu",))
+    else:
+        mask_sub = threshold_binary(sub_raw, t_sub)
+        mask_bh = threshold_binary(bh_raw, t_bh)
+        ink_mask = max_u8(mask_sub, mask_bh)
+        if c.ink_dilate_iters > 0:
+            ink_mask = dilate(ink_mask, structuring_element("rect", (2, 2)),
+                              iterations=c.ink_dilate_iters)
+        weighted = jnp.where(ink_mask == 0, jnp.uint8(255), base_bin)
 
     return {
         "illum": illum, "stretch": stretched, "inkmask": ink_mask,
