@@ -155,3 +155,58 @@ class TestDpSpatial:
         for i in range(4):
             np.testing.assert_allclose(out[i], np.asarray(stencil(x[i])),
                                        rtol=0, atol=1e-4)
+
+
+class TestSpatialDocscan:
+    """The FLAGSHIP pipeline H-sharded (runtime.spatial.
+    docscan_post_warp_spatial) must equal docscan_post_warp bit-exactly on
+    the full image — global statistics (NORM_MINMAX, two Otsu solves),
+    cross-shard Canny hysteresis, psum'd Hough deskew votes, rotation, and
+    every stencil's border semantics included (round-2 VERDICT item 5
+    extended from night_gray to the flagship)."""
+
+    def _assert_equal(self, page, cfg, space_mesh, expect_angle=None):
+        from tpuimage.runtime.spatial import docscan_post_warp_spatial
+        ref = docscan.docscan_post_warp(jnp.asarray(page), cfg)
+        out = docscan_post_warp_spatial(jnp.asarray(page), cfg, space_mesh)
+        if expect_angle is not None:
+            assert float(ref["deskew_angle"]) == expect_angle
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(ref[k]),
+                                          np.asarray(out[k]),
+                                          err_msg=f"stage {k}")
+
+    def test_random_page_bitexact(self, rng, space_mesh):
+        page = rng.integers(0, 256, size=(256, 192, 3)).astype(np.uint8)
+        self._assert_equal(page, docscan.GUI_DOCUMENT_CONFIG, space_mesh)
+
+    def test_real_page_bitexact(self, space_mesh):
+        from PIL import Image
+        with Image.open(
+                "/root/reference/public/DIP test/document1.jpeg") as im:
+            page = np.asarray(im.convert("RGB").resize((849, 1200),
+                                                       Image.BILINEAR),
+                              dtype=np.uint8)
+        self._assert_equal(page, docscan.GUI_DOCUMENT_CONFIG, space_mesh,
+                           expect_angle=0.0)
+
+    def test_rotation_path_bitexact(self, space_mesh):
+        """Tilted near-vertical stripes force a nonzero deskew median, so
+        the all_gather rotate branch executes and must still match."""
+        h, w = 256, 192
+        yy, xx = np.mgrid[0:h, 0:w]
+        stripes = (xx - yy * np.tan(np.deg2rad(3.0))) % 24 < 3
+        page = np.where(stripes, 40, 230).astype(np.uint8)[..., None]
+        page = np.repeat(page, 3, axis=-1)
+        from tpuimage.runtime.spatial import docscan_post_warp_spatial
+        cfg = docscan.GUI_DOCUMENT_CONFIG
+        ref = docscan.docscan_post_warp(jnp.asarray(page), cfg)
+        assert float(ref["deskew_angle"]) != 0.0  # the branch under test
+        self._assert_equal(page, cfg, space_mesh)
+
+    def test_morph_cleanup_sharded(self, rng, space_mesh):
+        """Default config: subtract illum + 3x3 close cleanup (the stages
+        the GUI config skips)."""
+        page = rng.integers(0, 256, size=(256, 192, 3)).astype(np.uint8)
+        cfg = docscan.DocScanConfig(mask_blur_ksize=31, block_size=31)
+        self._assert_equal(page, cfg, space_mesh)

@@ -110,6 +110,76 @@ def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
     return lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
 
 
+def canny_pre(gray: jnp.ndarray, low: float, high: float,
+              l2_gradient: bool = False, row_valid: jnp.ndarray | None = None):
+    """The local (stencil) half of cv2.Canny: Sobel3 -> magnitude ->
+    integer sector NMS -> double threshold. Returns (strong, weak) bool
+    maps; :func:`canny` composes this with the hysteresis fixpoint.
+
+    Split out so spatially-sharded callers (runtime.spatial) can evaluate
+    it on a 2-row-halo'd block (radius 2: sobel 1 + NMS 1) and run the
+    hysteresis flood with per-iteration halo exchange instead.
+
+    row_valid: optional (H,) bool — rows outside the GLOBAL image. The
+    unsharded NMS sees magnitude 0 beyond the image (the _shift2d fill);
+    a halo'd block carries real values there, so sharded callers zero the
+    magnitude on out-of-image rows to keep edge-row NMS decisions
+    identical."""
+    if low > high:
+        low, high = high, low
+    dx = sobel(gray, 1, 0)
+    dy = sobel(gray, 0, 1)
+    if l2_gradient:
+        mag = dx * dx + dy * dy
+        low_t, high_t = float(low) ** 2, float(high) ** 2
+    else:
+        mag = jnp.abs(dx) + jnp.abs(dy)
+        # cv2 truncates float thresholds toward zero for L1
+        low_t, high_t = float(int(low)), float(int(high))
+    if row_valid is not None:
+        mag = jnp.where(row_valid[:, None], mag, 0.0)
+
+    # --- sector NMS (canny.cpp): integer tangent tests in Q15 ---
+    xs = jnp.abs(dx)
+    ys = jnp.abs(dy) * 32768.0
+    tg22x = xs * float(_TG22)
+    tg67x = tg22x + xs * 65536.0
+
+    m = mag
+    left = _shift2d(m, 0, -1, 0.0)
+    right = _shift2d(m, 0, 1, 0.0)
+    up = _shift2d(m, -1, 0, 0.0)
+    down = _shift2d(m, 1, 0, 0.0)
+    # diagonal neighbours picked by the sign product s = sign(dx*dy)
+    same_sign = (dx * dy) >= 0
+    diag1 = jnp.where(same_sign, _shift2d(m, -1, -1, 0.0),
+                      _shift2d(m, -1, 1, 0.0))
+    diag2 = jnp.where(same_sign, _shift2d(m, 1, 1, 0.0),
+                      _shift2d(m, 1, -1, 0.0))
+
+    horiz = ys < tg22x
+    vert = ys > tg67x
+    keep = jnp.where(
+        horiz, (m > left) & (m >= right),
+        jnp.where(vert, (m > up) & (m >= down), (m > diag1) & (m >= diag2)))
+
+    cand = keep & (m > low_t)
+    strong = cand & (m > high_t)
+    return strong, cand & ~strong
+
+
+def dilate8_bool(b: jnp.ndarray) -> jnp.ndarray:
+    """8-connected boolean dilation (the hysteresis growth step)."""
+    p = jnp.pad(b, 1, mode="constant", constant_values=False)
+    acc = b
+    for oy in (-1, 0, 1):
+        for ox in (-1, 0, 1):
+            if oy == 0 and ox == 0:
+                continue
+            acc = acc | lax.dynamic_slice(p, (1 + oy, 1 + ox), b.shape)
+    return acc
+
+
 def canny(gray: jnp.ndarray, low: float, high: float,
           l2_gradient: bool = False, max_hysteresis_iters: int | None = None,
           impl: str = "auto") -> jnp.ndarray:
@@ -143,54 +213,10 @@ def canny(gray: jnp.ndarray, low: float, high: float,
         impl = "dilate" if jax.default_backend() == "cpu" else "linescan"
     if impl not in ("dilate", "linescan"):
         raise ValueError(f"impl must be auto|dilate|linescan, got {impl!r}")
-    if low > high:
-        low, high = high, low
-    dx = sobel(gray, 1, 0)
-    dy = sobel(gray, 0, 1)
-    if l2_gradient:
-        mag = dx * dx + dy * dy
-        low_t, high_t = float(low) ** 2, float(high) ** 2
-    else:
-        mag = jnp.abs(dx) + jnp.abs(dy)
-        # cv2 truncates float thresholds toward zero for L1
-        low_t, high_t = float(int(low)), float(int(high))
-
-    # --- sector NMS (canny.cpp): integer tangent tests in Q15 ---
-    xs = jnp.abs(dx)
-    ys = jnp.abs(dy) * 32768.0
-    tg22x = xs * float(_TG22)
-    tg67x = tg22x + xs * 65536.0
-
-    m = mag
-    left = _shift2d(m, 0, -1, 0.0)
-    right = _shift2d(m, 0, 1, 0.0)
-    up = _shift2d(m, -1, 0, 0.0)
-    down = _shift2d(m, 1, 0, 0.0)
-    # diagonal neighbours picked by the sign product s = sign(dx*dy)
-    same_sign = (dx * dy) >= 0
-    diag1 = jnp.where(same_sign, _shift2d(m, -1, -1, 0.0), _shift2d(m, -1, 1, 0.0))
-    diag2 = jnp.where(same_sign, _shift2d(m, 1, 1, 0.0), _shift2d(m, 1, -1, 0.0))
-
-    horiz = ys < tg22x
-    vert = ys > tg67x
-    keep = jnp.where(
-        horiz, (m > left) & (m >= right),
-        jnp.where(vert, (m > up) & (m >= down), (m > diag1) & (m >= diag2)))
-
-    cand = keep & (m > low_t)
-    strong = cand & (m > high_t)
-    weak = cand & ~strong
+    strong, weak = canny_pre(gray, low, high, l2_gradient)
 
     # --- hysteresis: grow strong through 8-connected weak, to fixpoint ---
-    def dilate8(b):
-        p = jnp.pad(b, 1, mode="constant", constant_values=False)
-        acc = b
-        for oy in (-1, 0, 1):
-            for ox in (-1, 0, 1):
-                if oy == 0 and ox == 0:
-                    continue
-                acc = acc | lax.dynamic_slice(p, (1 + oy, 1 + ox), b.shape)
-        return acc
+    dilate8 = dilate8_bool
 
     h, w = gray.shape
     max_iters = max_hysteresis_iters or (h + w)

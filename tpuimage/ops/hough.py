@@ -382,7 +382,16 @@ def hough_fold_median_angle(edges: jnp.ndarray, threshold: int,
     acc, overflow = hough_accumulator(edges, rho=rho, theta_bins=theta_bins,
                                       max_edges=max_edges,
                                       return_overflow=True)
-    counts = jnp.sum(_is_peak(acc, threshold).astype(jnp.int32), axis=0)  # (theta,)
+    angle = fold_median_from_acc(acc, threshold, theta_bins)
+    return (angle, overflow) if return_overflow else angle
+
+
+def fold_median_from_acc(acc: jnp.ndarray, threshold: int,
+                         theta_bins: int = 180) -> jnp.ndarray:
+    """The fold-median statistic of hough_fold_median_angle from an
+    already-built accumulator — shared with the spatially-sharded deskew
+    (runtime.spatial builds ``acc`` as a psum of per-shard votes)."""
+    counts = jnp.sum(_is_peak(acc, threshold).astype(jnp.int32), axis=0)
 
     theta_deg = np.arange(theta_bins) * (180.0 / theta_bins)
     fold = np.mod(theta_deg + 90.0, 180.0) - 90.0
@@ -395,8 +404,7 @@ def hough_fold_median_angle(edges: jnp.ndarray, threshold: int,
         return fold_sorted[jnp.argmax(c > q)]
 
     med = 0.5 * (value_at_rank((n - 1) // 2) + value_at_rank(n // 2))
-    angle = jnp.where(n > 0, med, 0.0)
-    return (angle, overflow) if return_overflow else angle
+    return jnp.where(n > 0, med, 0.0)
 
 
 def hough_line_count(edges: jnp.ndarray, threshold: int, rho: float = 1.0,

@@ -135,3 +135,269 @@ def night_gray_spatial(gray: jnp.ndarray, mesh: Mesh,
                            out_specs={"original": spec, "filtered": spec,
                                       "enhanced": spec})
     return mapped(gray, R)
+
+
+# ---------------------------------------------------------------------------
+# spatially-sharded DocScanner post-warp (the flagship, H-sharded)
+# ---------------------------------------------------------------------------
+
+def _hysteresis_sharded(strong, weak, space_axis: str, max_iters: int):
+    """Canny hysteresis to the GLOBAL weak-reachability fixpoint under
+    shard_map: 4 local masked dilations per check, then one cross-shard
+    hop via a 1-row strong-mask halo exchange; convergence is the pmax of
+    per-shard change flags. Growth is monotone within weak-reachability,
+    so any schedule (local-then-exchange included) reaches the identical
+    fixpoint the unsharded ops.edges.canny computes."""
+    from tpuimage.ops.edges import dilate8_bool
+
+    def cond(state):
+        i, s, changed = state
+        return changed & (i < max_iters)
+
+    def body(state):
+        i, s, _ = state
+        new = s
+        for _ in range(4):
+            new = new | (weak & dilate8_bool(new))
+        nh = halo_exchange(new, 1, space_axis, border="zero")
+        new = new | (weak & dilate8_bool(nh)[1:-1])
+        changed = lax.pmax(jnp.any(new != s).astype(jnp.int32),
+                           space_axis) > 0
+        return i + 1, new, changed
+
+    _, strong, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), strong, jnp.bool_(True)))
+    return strong
+
+
+def _hough_votes_sharded(edges_local, y0, full_h: int, w: int):
+    """Per-shard Hough vote accumulator in GLOBAL (full_h, w) binning:
+    local band compaction + the y-offset added to the edge coordinates
+    (poison slots stay ~1e9 — still outside every reachable bin). The
+    psum of these over the space axis equals the unsharded
+    hough_accumulator counts exactly (vote sums are order-invariant).
+    Returns (votes (numrho, 180) i32, overflow bool)."""
+    from tpuimage.ops.hough import band_compact_coords, theta_windows, \
+        _LO_BINS
+    numrho = (w + full_h) * 2 + 1
+    hl, wl = int(edges_local.shape[0]), int(edges_local.shape[1])
+    k = min(max(131072, (hl * wl * 3) // 16), 524288, hl * wl)
+    xs_t, ys_t, counts, overflow = band_compact_coords(edges_local, k,
+                                                       with_overflow=True)
+    ys_t = ys_t + y0.astype(jnp.float32)
+    if jax.default_backend() not in ("cpu",):
+        from tpuimage.ops.pallas_kernels import hough_votes_pallas, _HOUGH_LO
+        c_mid = (numrho - 1) // 2
+        rho_base = max(c_mid - (w - 1) - 1, 0)
+        rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, full_h - 1))) + 1,
+                     numrho - 1)
+        rho_bins = rho_hi - rho_base + 1
+        win0, span = theta_windows(full_h, w, c_mid, rho_base, rho_bins,
+                                   _HOUGH_LO, 180)
+        acc = hough_votes_pallas(xs_t, ys_t, counts, numrho,
+                                 rho_base=rho_base, rho_bins=rho_bins,
+                                 rows=128, theta_wins=win0, win_hi=span)
+        return acc, overflow
+    # XLA fallback (CPU mesh): one-hot theta scan over the banded coords.
+    # Poisoned slots produce |r| >> numrho for every theta (same bound as
+    # the Pallas kernel's poison note) and are range-mapped to the spare
+    # hi row, so they contribute nothing.
+    thetas = np.arange(180) * (np.pi / 180.0)
+    cos_t = jnp.asarray(np.cos(thetas), jnp.float32)
+    sin_t = jnp.asarray(np.sin(thetas), jnp.float32)
+    xs = xs_t.reshape(-1)
+    ys = ys_t.reshape(-1)
+    n_hi = (numrho + _LO_BINS - 1) // _LO_BINS + 1
+    invalid = n_hi * _LO_BINS - 1
+    hi_iota = jnp.arange(n_hi, dtype=jnp.int32)
+    lo_iota = jnp.arange(_LO_BINS, dtype=jnp.int32)
+
+    def one_theta(carry, ct_st):
+        ct, st = ct_st
+        r = (jnp.round(xs * ct + ys * st).astype(jnp.int32)
+             + (numrho - 1) // 2)
+        r = jnp.where((r >= 0) & (r < numrho), r, invalid)
+        oh_hi = (r[:, None] // _LO_BINS == hi_iota[None, :]
+                 ).astype(jnp.bfloat16)
+        oh_lo = (r[:, None] % _LO_BINS == lo_iota[None, :]
+                 ).astype(jnp.bfloat16)
+        votes2d = jnp.matmul(oh_hi.T, oh_lo,
+                             preferred_element_type=jnp.float32)
+        return carry, votes2d.reshape(-1)[:numrho].astype(jnp.int32)
+
+    _, acc = lax.scan(one_theta, None, (cos_t, sin_t))
+    return acc.T, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh", "space_axis"))
+def docscan_post_warp_spatial(warped_rgb: jnp.ndarray, config, mesh: Mesh,
+                              space_axis: str = "space"
+                              ) -> Dict[str, jnp.ndarray]:
+    """The FLAGSHIP pipeline H-sharded: DocScanner stages 04-08
+    (pipelines.docscan.docscan_post_warp) on a single page split across a
+    mesh axis — for pages too large for one chip (SURVEY §2.3 TP/CP row;
+    the reference downscales instead, DocScanner.py:27-36).
+
+    Bit-identical to ``docscan_post_warp(warped_rgb, config)`` (the plain
+    ops path) — asserted by tests/test_runtime.py on the CPU mesh:
+
+    * stencils (illum/ink gaussians, blackhat, adaptive threshold, 2x2
+      ink dilate, morph close) run on halo-exchanged blocks with the
+      exact border semantics of each op (reflect101 / replicate /
+      constant 0-255 realized by global-row masks);
+    * global statistics: NORM_MINMAX min/max via pmin/pmax with the same
+      affine expression; the two Otsu solves psum RAW-plane histograms
+      and reuse the normalize-LUT pullback (docscan._raw_otsu_threshold)
+      — no normalized plane materializes on any shard;
+    * Canny hysteresis floods to the global fixpoint with per-iteration
+      1-row halo exchange (_hysteresis_sharded);
+    * the Hough deskew accumulator is the psum of per-shard global-
+      coordinate votes (_hough_votes_sharded), then the same fold-median;
+    * the deskew ROTATION (rare: angle != 0) all_gathers the weighted
+      binary and applies the SAME rotation op before re-slicing — exact
+      by construction, at the cost of one full-image replica per shard;
+      a halo'd distributed rotation is future work (angle == 0
+      short-circuits it, and the golden config always lands there).
+
+    Requires h %% axis_size == 0 and every halo < the shard height
+    (asserted; pad or use fewer shards otherwise).
+    """
+    from tpuimage.pipelines.docscan import (_raw_otsu_threshold, _rotate_for)
+    from tpuimage.ops import color as colorops
+    from tpuimage.ops.filters import gaussian_blur_u8
+    from tpuimage.ops.arith import subtract_u8, divide_u8, max_u8, \
+        _minmax_scale
+    from tpuimage.ops.threshold import adaptive_threshold, threshold_binary
+    from tpuimage.ops.morphology import structuring_element, erode, dilate
+    from tpuimage.ops.edges import canny_pre
+    from tpuimage.ops.hough import fold_median_from_acc
+    from tpuimage.core.dtypes import saturate_u8, f32, i32
+
+    c = config
+    h, w = int(warped_rgb.shape[0]), int(warped_rgb.shape[1])
+    ndev = mesh.shape[space_axis]
+    assert h % ndev == 0, f"H={h} must divide the {space_axis} axis ({ndev})"
+    hl = h // ndev
+
+    base = max(15, int(round(min(h, w) * c.illum_blur_frac)))
+    base += (base % 2 == 0)
+    mk = c.mask_blur_ksize + (c.mask_blur_ksize % 2 == 0)
+    bk = max(c.blackhat_ksize, 3)
+    bk += (bk % 2 == 0)
+    bh_h = max(3, int(round(bk * c.blackhat_vertical_ratio)))
+    bh_h += (bh_h % 2 == 0)
+    bs = c.block_size + (c.block_size % 2 == 0)
+    vb = bh_h - 1                      # blackhat vertical reach
+    vm = 2 * c.morph_iters * (c.morph_ksize // 2)  # close reach
+    divide = c.illum_method.lower() == "divide"
+    se_vert = structuring_element("rect", (bk, bh_h))
+    se2 = structuring_element("rect", (2, 2))
+    for name, hal in (("illum", base // 2), ("ink", mk // 2),
+                      ("blackhat", vb), ("adapt", bs // 2),
+                      ("cleanup", vm)):
+        assert hal < hl, (f"{name} halo {hal} >= shard height {hl}: use "
+                          f"fewer shards or a taller page")
+
+    def local(rgb_l):
+        idx = lax.axis_index(space_axis)
+        y0 = (idx * hl).astype(jnp.int32)
+
+        def rows_valid(halo):
+            g = jnp.arange(-halo, hl + halo) + y0
+            return (g >= 0) & (g < h)
+
+        gray = colorops.rgb_to_gray(rgb_l)
+
+        # --- illumination + NORM_MINMAX (global min/max) ---
+        r = base // 2
+        gh = halo_exchange(gray, r, space_axis, border="reflect101")
+        bg = gaussian_blur_u8(gh, ksize=base)[r:-r]
+        tmp = divide_u8(gray, bg, scale=255) if divide \
+            else subtract_u8(gray, bg)
+        x = f32(tmp)
+        smin = lax.pmin(jnp.min(x), space_axis)
+        smax = lax.pmax(jnp.max(x), space_axis)
+        scale, offset = _minmax_scale(smin, smax, 0.0, 255.0)
+        illum = saturate_u8(x * scale + offset)
+        stretched = illum                      # provably-identity stretch
+
+        # --- ink background subtract ---
+        r = mk // 2
+        ih = halo_exchange(illum, r, space_axis, border="reflect101")
+        ink_bg = gaussian_blur_u8(ih, ksize=mk)[r:-r]
+        sub_raw = subtract_u8(ink_bg, illum)
+
+        # --- blackhat (constant borders via global-row masks) ---
+        bhalo = halo_exchange(illum, vb, space_axis, border="zero")
+        d = dilate(bhalo, se_vert)
+        d = jnp.where(rows_valid(vb)[:, None], d, jnp.uint8(255))
+        closed = erode(d, se_vert)[vb:-vb]
+        bh_raw = saturate_u8(i32(closed) - i32(illum))
+
+        # --- Otsu thresholds from psum'd RAW histograms (LUT pullback) ---
+        hs = lax.psum(hist256(sub_raw), space_axis)
+        hb = lax.psum(hist256(bh_raw), space_axis)
+        t_sub = _raw_otsu_threshold(hs, c.mask_thresh_offset)
+        t_bh = _raw_otsu_threshold(hb, c.mask_thresh_offset)
+
+        # --- adaptive binarize ---
+        r = bs // 2
+        ah = halo_exchange(illum, r, space_axis, border="replicate")
+        base_bin = adaptive_threshold(ah, 255, c.thresh_method, bs,
+                                      c.C)[r:-r]
+
+        # --- ink mask + weighting ---
+        ink_mask = max_u8(threshold_binary(sub_raw, t_sub),
+                          threshold_binary(bh_raw, t_bh))
+        if c.ink_dilate_iters > 0:
+            it = c.ink_dilate_iters
+            mhal = halo_exchange(ink_mask, it, space_axis, border="zero")
+            ink_mask = dilate(mhal, se2, iterations=it)[it:-it]
+        weighted = jnp.where(ink_mask == 0, jnp.uint8(255), base_bin)
+
+        # --- deskew angle: sharded canny + psum'd Hough votes ---
+        ch = halo_exchange(weighted, 2, space_axis, border="reflect101")
+        strong, weak = canny_pre(ch, c.canny_low, c.canny_high,
+                                 row_valid=rows_valid(2))
+        strong, weak = strong[2:-2], weak[2:-2]
+        strong = _hysteresis_sharded(strong, weak, space_axis, h + w)
+        edges_l = jnp.where(strong, jnp.uint8(255), jnp.uint8(0))
+        votes, oflow = _hough_votes_sharded(edges_l, y0, h, w)
+        acc = lax.psum(votes, space_axis)
+        med = fold_median_from_acc(acc, 150)
+        angle = jnp.where(jnp.abs(med) > c.max_rotate, 0.0, med)
+        overflow = lax.pmax(oflow.astype(jnp.int32), space_axis) > 0
+
+        # --- rotation: gather-rotate-reslice (exact; see docstring) ---
+        rot = _rotate_for(c)
+
+        def rotate_branch(wl):
+            full = lax.all_gather(wl, space_axis, tiled=True)
+            return lax.dynamic_slice(rot(full, angle), (y0, 0), (hl, w))
+
+        desk = lax.cond(angle == 0.0, lambda wl: wl, rotate_branch, weighted)
+
+        # --- morph cleanup (close) ---
+        if c.morph_ksize > 1 and c.morph_iters > 0:
+            sec = structuring_element("rect", (c.morph_ksize, c.morph_ksize))
+            dh = halo_exchange(desk, vm, space_axis, border="zero")
+            dd = dilate(dh, sec, iterations=c.morph_iters)
+            dd = jnp.where(rows_valid(vm)[:, None], dd, jnp.uint8(255))
+            clean = erode(dd, sec, iterations=c.morph_iters)[vm:-vm]
+        else:
+            clean = desk
+
+        return {"illum": illum, "stretch": stretched, "inkmask": ink_mask,
+                "adapt": base_bin, "weighted": weighted, "deskew": desk,
+                "clean": clean, "deskew_angle": angle,
+                "deskew_overflow": overflow}
+
+    spec = P(space_axis, None)
+    out_specs = {k: spec for k in ("illum", "stretch", "inkmask", "adapt",
+                                   "weighted", "deskew", "clean")}
+    out_specs["deskew_angle"] = P()
+    out_specs["deskew_overflow"] = P()
+    mapped = jax.shard_map(local, mesh=mesh,
+                           in_specs=(P(space_axis, None, None),),
+                           out_specs=out_specs)
+    return mapped(warped_rgb)
