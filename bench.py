@@ -131,8 +131,37 @@ def bench_cpu_reference(page: np.ndarray) -> float:
     return (page.shape[0] * page.shape[1] / 1e6) * n / dt
 
 
+def _claim_device_or_die(timeout_s: int = 900) -> None:
+    """The tunneled TPU worker has outages where the backend claim hangs
+    indefinitely (interpreter startup and ``import jax`` stay fine — only
+    ``jax.devices()`` blocks). Rather than hang the driver, claim in a
+    daemon thread with a deadline and emit an honest error metric line."""
+    import os
+    import threading
+
+    ok = threading.Event()
+
+    def claim():
+        import jax
+        jax.devices()
+        ok.set()
+
+    threading.Thread(target=claim, daemon=True).start()
+    if not ok.wait(timeout_s):
+        print(json.dumps({
+            "metric": "fused_docscan_post_warp_throughput",
+            "value": 0.0,
+            "unit": "MP/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"TPU worker unreachable: device claim hung >{timeout_s}s"
+                     " (worker outage; see CLAUDE.md probe notes)",
+        }), flush=True)
+        os._exit(2)
+
+
 def main():
     page = _load_page()
+    _claim_device_or_die()
     tpu_mps = bench_tpu(page)
     try:
         cpu_mps = bench_cpu_reference(page)
