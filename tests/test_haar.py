@@ -157,3 +157,36 @@ class TestBatchEquivalence:
         out = haar.detect_faces_batch([np.zeros((10, 10), np.uint8)])
         assert out == [[]]
         assert haar.detect_faces_batch([]) == []
+
+
+class TestNativeNumpyParity:
+    """The C++ early-exit evaluator (native/haar.cpp) and the vectorized
+    numpy fallback must produce IDENTICAL candidate lists: both follow the
+    same IEEE-double op order (round-3; see haar.cpp's parity contract)."""
+
+    def test_impls_identical_faces(self):
+        imgs = [gray(f"{PUB}/facewithnoise.jpg"),
+                gray(f"{PUB}/sample.jpg")[:477, :601],   # odd sizes
+                gray(f"{PUB}/enhanced_face.jpg")]
+        kw = dict(scale_factor=1.1, min_neighbors=5, min_size=(40, 40))
+        a = haar.detect_multi_scale_batch(
+            imgs, "haarcascade_frontalface_default.xml", impl="numpy", **kw)
+        b = haar.detect_multi_scale_batch(
+            imgs, "haarcascade_frontalface_default.xml", impl="native", **kw)
+        assert a == b
+
+    def test_impls_identical_eyes(self):
+        imgs = [gray(f"{PUB}/enhanced_face.jpg")]
+        kw = dict(scale_factor=1.1, min_neighbors=5, min_size=(30, 30))
+        a = haar.detect_multi_scale_batch(
+            imgs, "haarcascade_eye.xml", impl="numpy", **kw)
+        b = haar.detect_multi_scale_batch(
+            imgs, "haarcascade_eye.xml", impl="native", **kw)
+        assert a == b
+
+    def test_bad_impl_rejected(self):
+        import pytest
+        with pytest.raises(ValueError):
+            haar.detect_multi_scale_batch(
+                [np.zeros((50, 50), np.uint8)],
+                "haarcascade_frontalface_default.xml", impl="cuda")

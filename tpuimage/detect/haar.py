@@ -181,11 +181,98 @@ def _resize_linear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return np.clip(np.floor((acc + 2.0 ** 21) / 2.0 ** 22), 0, 255).astype(np.uint8)
 
 
+def _pyramid_levels(H: int, W: int, wh: int, ww: int, scale_factor: float,
+                    min_size, max_size):
+    """OpenCV's detectMultiScale pyramid schedule: (factor, sh, sw, win_w,
+    win_h, step) per level, identical for the numpy and native drivers."""
+    factor = 1.0
+    while True:
+        win_w = int(round(ww * factor))
+        win_h = int(round(wh * factor))
+        sw, sh = int(round(W / factor)), int(round(H / factor))
+        if sw - ww <= 0 or sh - wh <= 0:
+            break
+        if max_size and (win_w > max_size[0] or win_h > max_size[1]):
+            break
+        if not (win_w < min_size[0] or win_h < min_size[1]):
+            yield factor, sh, sw, win_w, win_h, (1 if factor > 2.0 else 2)
+        factor *= scale_factor
+
+
+def _native_pack(casc: HaarCascade):
+    """Flat ctypes-ready views of the cascade (cached on the object)."""
+    if not hasattr(casc, "_native_arrays"):
+        import ctypes
+        rects = np.ascontiguousarray(casc.rects[:, :, :4], dtype=np.int32)
+        wts = np.ascontiguousarray(casc.rects[:, :, 4], dtype=np.float32)
+        bounds = np.asarray([s0 for s0, _ in casc.stage_slices]
+                            + [casc.stage_slices[-1][1]], dtype=np.int32)
+        p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+        casc._native_arrays = (
+            # keep the arrays alive alongside their pointers
+            (rects, wts, bounds),
+            (p(rects, ctypes.c_int32), p(wts, ctypes.c_float),
+             p(casc.feat_idx, ctypes.c_int32),
+             p(casc.node_thr, ctypes.c_float),
+             p(casc.leaves, ctypes.c_float),
+             p(casc.stage_thresholds, ctypes.c_float),
+             p(bounds, ctypes.c_int32)))
+    return casc._native_arrays[1]
+
+
+def _detect_batch_native(lib, grays, casc: HaarCascade, scale_factor: float,
+                         min_neighbors: int, min_size, max_size):
+    """Per-window early-exit cascade in C++ (native/haar.cpp): one call per
+    pyramid level, resize + rect grouping stay in Python. Candidate order
+    (level-major, then y, then x) matches the numpy driver, so grouping —
+    whose class means depend on member order — sees identical input."""
+    import ctypes
+    wh, ww = casc.win_h, casc.win_w
+    cr, cw, cfi, cnt, clv, cst, cbd = _native_pack(casc)
+    n_stages = len(casc.stage_slices)
+    cap = 1 << 16
+    out = np.empty(cap * 2, dtype=np.int32)
+    results = []
+    for gray in grays:
+        gray = np.ascontiguousarray(gray, dtype=np.uint8)
+        H, W = gray.shape
+        # integral scratch sized to the largest level, reused level-to-level
+        # (fresh multi-MB numpy allocations churn pages on this host)
+        ii_s = np.empty((H + 1) * (W + 1), dtype=np.int32)
+        sq_s = np.empty((H + 1) * (W + 1), dtype=np.float64)
+        cands: List[Tuple[int, int, int, int]] = []
+        for factor, sh, sw, win_w, win_h, step in _pyramid_levels(
+                H, W, wh, ww, scale_factor, min_size, max_size):
+            scaled = _resize_linear_np(gray, sh, sw)
+            while True:
+                n = lib.tpuimage_haar_level(
+                    scaled.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    sh, sw, wh, ww, step, cr, cw, cfi, cnt, clv, cst, cbd,
+                    n_stages,
+                    ii_s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    sq_s.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    cap)
+                if n >= 0:
+                    break
+                cap *= 2
+                out = np.empty(cap * 2, dtype=np.int32)
+            if n:
+                xy = out[:2 * n].reshape(-1, 2)
+                xs = np.rint(xy[:, 0] * factor).astype(np.int64)
+                ys = np.rint(xy[:, 1] * factor).astype(np.int64)
+                cands.extend((int(x), int(y), win_w, win_h)
+                             for x, y in zip(xs, ys))
+        results.append(_group_rectangles(cands, min_neighbors))
+    return results
+
+
 def detect_multi_scale_batch(grays, cascade_name: str,
                              scale_factor: float = 1.1,
                              min_neighbors: int = 5,
                              min_size: Tuple[int, int] = (0, 0),
                              max_size: Tuple[int, int] | None = None,
+                             impl: str = "auto",
                              ) -> List[List[Tuple[int, int, int, int]]]:
     """detectMultiScale over a LIST of gray images with ONE cascade pass.
 
@@ -199,8 +286,31 @@ def detect_multi_scale_batch(grays, cascade_name: str,
     Identical windows, identical float64 math, identical candidate order
     (image-major, then scale, then y-major origin), so results match
     detect_multi_scale exactly (pinned fixtures in tests/test_haar.py).
+
+    impl: "native" forces the C++ per-window early-exit evaluator
+    (native/haar.cpp — ~10-20x the vectorized numpy form, identical
+    results), "numpy" forces the vectorized fallback, "auto" prefers
+    native when the toolchain/library is available.
     """
+    if impl not in ("auto", "native", "numpy"):
+        raise ValueError(f"impl must be auto|native|numpy, got {impl!r}")
     casc = load_cascade(cascade_name)
+    # the native evaluator's int32 integral image requires 255*H*W < 2^31
+    # (~8.4 MP); larger inputs take the numpy path with an int64 integral
+    fits_i32 = all(255 * g.shape[0] * g.shape[1] < 2 ** 31
+                   for g in (np.asarray(g) for g in grays))
+    if impl != "numpy" and fits_i32:
+        from tpuimage.native import load_native
+        lib = load_native()
+        if lib is not None and hasattr(lib, "tpuimage_haar_level"):
+            return _detect_batch_native(lib, grays, casc, scale_factor,
+                                        min_neighbors, min_size, max_size)
+        if impl == "native":
+            raise RuntimeError("native haar library unavailable "
+                               "(g++ build failed?)")
+    elif impl == "native":
+        raise ValueError("impl='native' requires every image < ~8.4 MP "
+                         "(int32 integral-image bound)")
     wh, ww = casc.win_h, casc.win_w
     R = casc.rects  # (F, 3, 5)
 
@@ -248,6 +358,11 @@ def detect_multi_scale_batch(grays, cascade_name: str,
     # code paid ~n_levels * n_stages tiny numpy calls there).
     n_stages = len(casc.stage_slices)
     phase1 = min(6, n_stages)
+    # stages evaluated DENSELY on the full window grid before compacting
+    # to survivors (see the dense_rect comment below for the measured
+    # crossover); must be <= phase1
+    _DENSE_STAGES = min(int(os.environ.get("HAAR_DENSE", "4")), phase1)
+    _DENSE_TILE = int(os.environ.get("HAAR_TILE", "32768"))  # windows/tile
 
     results: List[List[Tuple[int, int, int, int]]] = [[] for _ in grays]
     nw_, nh_ = ww - 2, wh - 2
@@ -270,54 +385,116 @@ def detect_multi_scale_batch(grays, cascade_name: str,
         offset = 0
         gray = np.asarray(gray)
         H, W = gray.shape
-        factor = 1.0
-        while True:
-            win_w = int(round(ww * factor))
-            win_h = int(round(wh * factor))
-            sw, sh = int(round(W / factor)), int(round(H / factor))
-            if sw - ww <= 0 or sh - wh <= 0:
-                break
-            if max_size and (win_w > max_size[0] or win_h > max_size[1]):
-                break
-            if win_w < min_size[0] or win_h < min_size[1]:
-                factor *= scale_factor
-                continue
+        for factor, sh, sw, win_w, win_h, step in _pyramid_levels(
+                H, W, wh, ww, scale_factor, min_size, max_size):
             scaled = _resize_linear_np(gray, sh, sw)
-            x = scaled.astype(np.float64)
-            ii = np.zeros((sh + 1, sw + 1), dtype=np.float64)
+            # ii in int32 when 255*W*H < 2^31 (all rect-sum intermediates
+            # then stay within int32; int64 beyond) — halves the
+            # gather/slice traffic vs float64 and every value is the same
+            # exact integer, so results are bit-identical. sq needs the
+            # 255^2*N range, stays float64 and is level-local (variance
+            # normalization completes densely below).
+            ii_dt = np.int32 if 255 * sh * sw < 2 ** 31 else np.int64
+            ii = np.zeros((sh + 1, sw + 1), dtype=ii_dt)
             sq = np.zeros((sh + 1, sw + 1), dtype=np.float64)
-            np.cumsum(np.cumsum(x, 0), 1, out=ii[1:, 1:])
+            np.cumsum(np.cumsum(scaled, 0, dtype=ii_dt), 1,
+                      out=ii[1:, 1:])
+            x = scaled.astype(np.float64)
             np.cumsum(np.cumsum(x * x, 0), 1, out=sq[1:, 1:])
-            iif, sqf = ii.ravel(), sq.ravel()
             stride = sw + 1
             oh, ow = sh - wh + 1, sw - ww + 1
-            step = 1 if factor > 2.0 else 2
-            oy, ox = np.mgrid[0:oh:step, 0:ow:step]
-            base = (oy * stride + ox).ravel()
 
-            # variance normalization over normrect (1,1,w-2,h-2) like
-            # HaarEvaluator, then the phase-1 stages — all level-local
-            strd_l = np.full(len(base), stride, dtype=np.int64)
-            vsum = rect_sum(iif, base, strd_l, 1, 1, nw_, nh_)
-            vsq = rect_sum(sqf, base, strd_l, 1, 1, nw_, nh_)
-            nf2 = vsq * area - vsum * vsum
+            # Window origins form a REGULAR grid, so a rect sum over every
+            # origin is pure SLICE arithmetic on the 2-D integral image —
+            # no index arrays, no gathers. Two measured facts shape the
+            # form (benchmarks/micro_haar.py): (a) step-2 strided slice
+            # reads run ~4x below contiguous speed, so ii is split ONCE
+            # per level into step^2 contiguous phase copies and every
+            # rect corner becomes a contiguous-row slice of its phase;
+            # (b) full-grid f64 passes are DRAM-bound (~200us each at
+            # 295k windows) while <=2 MB working sets run 3-5x faster, so
+            # the stage loop is cache-TILED over grid-row blocks — all
+            # per-feature temps stay L2-resident and use numpy's small
+            # allocator (no mmap page churn). Identical operand values
+            # and association order as the gathered form, so survivor
+            # sets are bit-identical.
+            gh = len(range(0, oh, step))
+            gw = len(range(0, ow, step))
+            phases = [[np.ascontiguousarray(ii[py::step, px::step])
+                       for px in range(step)] for py in range(step)]
+
+            vs = (ii[1+nh_:1+nh_+oh:step, 1+nw_:1+nw_+ow:step]
+                  - ii[1:1+oh:step, 1+nw_:1+nw_+ow:step]
+                  - ii[1+nh_:1+nh_+oh:step, 1:1+ow:step]
+                  + ii[1:1+oh:step, 1:1+ow:step]).astype(np.float64)
+            vq = (sq[1+nh_:1+nh_+oh:step, 1+nw_:1+nw_+ow:step]
+                  - sq[1:1+oh:step, 1+nw_:1+nw_+ow:step]
+                  - sq[1+nh_:1+nh_+oh:step, 1:1+ow:step]
+                  + sq[1:1+oh:step, 1:1+ow:step])
+            nf2 = vq * area - vs * vs
             nf = np.sqrt(np.maximum(nf2, 0.0))
-            keep = np.flatnonzero(nf2 > 0)
-            surv = keep[run_stages(iif, base[keep], strd_l[keep], nf[keep],
-                                   0, phase1)]
+            alive2d = nf2 > 0
+
+            def corner(dy, dx, r0, r1):
+                return phases[dy % step][dx % step][
+                    dy // step + r0:dy // step + r1,
+                    dx // step:dx // step + gw]
+
+            dense_stages = list(zip(casc.stage_slices,
+                                    casc.stage_thresholds))[:_DENSE_STAGES]
+            tr = max(1, _DENSE_TILE // max(gw, 1))  # rows per cache tile
+            for r0 in range(0, gh, tr):
+                r1 = min(r0 + tr, gh)
+                alive_t = alive2d[r0:r1]
+                nf_t = nf[r0:r1]
+                for (s0, s1), sthr in dense_stages:
+                    if not alive_t.any():
+                        break
+                    ssum = np.zeros((r1 - r0, gw))
+                    for wci in range(s0, s1):
+                        fi = int(casc.feat_idx[wci])
+                        val = None
+                        for (rx, ry, rw, rh, wt) in R[fi]:
+                            if wt == 0.0:
+                                continue
+                            rx, ry, rw, rh = int(rx), int(ry), int(rw), int(rh)
+                            rect = (corner(ry + rh, rx + rw, r0, r1)
+                                    - corner(ry, rx + rw, r0, r1)
+                                    - corner(ry + rh, rx, r0, r1)
+                                    + corner(ry, rx, r0, r1))
+                            # 0.0 + wt*rect == wt*rect: same accumulation
+                            # as the gathered val-starts-at-zero form
+                            v = wt * rect
+                            val = v if val is None else val + v
+                        ssum += np.where(val < casc.node_thr[wci] * nf_t,
+                                         casc.leaves[wci, 0],
+                                         casc.leaves[wci, 1])
+                    alive_t &= ssum >= sthr
+
+            # compact to survivors (C-order ravel == the old y-major,
+            # then-x window order), finish phase 1 gathered
+            iif = ii.ravel()
+            keep = np.flatnonzero(alive2d.ravel())
+            gw = alive2d.shape[1]
+            oxk = (keep % gw).astype(np.int64) * step
+            oyk = (keep // gw).astype(np.int64) * step
+            base_k = oyk * stride + oxk
+            strd_k = np.full(len(keep), stride, dtype=np.int64)
+            nf_k = nf.ravel()[keep]
+            surv = run_stages(iif, base_k, strd_k, nf_k,
+                              _DENSE_STAGES, phase1)
             ii_parts.append(iif)
             if len(surv):
-                alive_parts.append(base[surv] + offset)
-                stride_parts.append(strd_l[surv])
-                nf_parts.append(nf[surv])
+                alive_parts.append(base_k[surv] + offset)
+                stride_parts.append(strd_k[surv])
+                nf_parts.append(nf_k[surv])
                 meta = np.empty((len(surv), 4), dtype=np.int64)
-                meta[:, 0] = np.rint(ox.ravel()[surv] * factor)
-                meta[:, 1] = np.rint(oy.ravel()[surv] * factor)
+                meta[:, 0] = np.rint(oxk[surv] * factor)
+                meta[:, 1] = np.rint(oyk[surv] * factor)
                 meta[:, 2] = win_w
                 meta[:, 3] = win_h
                 meta_parts.append(meta)
             offset += ii.size
-            factor *= scale_factor
 
         if not alive_parts:
             continue

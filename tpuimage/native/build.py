@@ -8,7 +8,7 @@ import threading
 from typing import Optional
 
 _DIR = os.path.dirname(__file__)
-_SRC = os.path.join(_DIR, "contours.cpp")
+_SRCS = [os.path.join(_DIR, "contours.cpp"), os.path.join(_DIR, "haar.cpp")]
 _SO = os.path.join(_DIR, "libtpuimage_native.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -18,10 +18,14 @@ _failed = False
 def _build() -> bool:
     try:
         if (os.path.exists(_SO)
-                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+                and all(os.path.getmtime(_SO) >= os.path.getmtime(s)
+                        for s in _SRCS)):
             return True
+        # NO -ffast-math / -march: the haar evaluator's bit-parity contract
+        # needs plain IEEE double ops without FMA contraction (SSE2 target)
         r = subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS,
+             "-o", _SO],
             capture_output=True, timeout=120)
         return r.returncode == 0
     except Exception:
@@ -55,6 +59,19 @@ def load_native() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_double,
+            ]
+            hl = lib.tpuimage_haar_level
+            hl.restype = ctypes.c_int64
+            hl.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ]
             _lib = lib
         except Exception:
