@@ -210,3 +210,27 @@ class TestSpatialDocscan:
         page = rng.integers(0, 256, size=(256, 192, 3)).astype(np.uint8)
         cfg = docscan.DocScanConfig(mask_blur_ksize=31, block_size=31)
         self._assert_equal(page, cfg, space_mesh)
+
+    def test_dp_space_batch_bitexact(self, rng):
+        """The dp x sp serving form: batch sharded over 'data', every page
+        H-sharded over 'space' — each page bit-equals the unsharded
+        pipeline, including a mixed batch where one page takes the
+        rotation branch and the other does not (vmap(cond) -> select)."""
+        from tpuimage.runtime.spatial import docscan_post_warp_spatial_batch
+        h, w = 256, 192
+        yy, xx = np.mgrid[0:h, 0:w]
+        stripes = (xx - yy * np.tan(np.deg2rad(3.0))) % 24 < 3
+        tilted = np.where(stripes, 40, 230).astype(np.uint8)[..., None]
+        tilted = np.repeat(tilted, 3, axis=-1)
+        flat = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        batch = jnp.asarray(np.stack([tilted, flat]))
+        cfg = docscan.GUI_DOCUMENT_CONFIG
+        mesh2 = rt.make_mesh(8, axis_names=("data", "space"), shape=(2, 4))
+        refs = [docscan.docscan_post_warp(batch[i], cfg) for i in range(2)]
+        assert float(refs[0]["deskew_angle"]) != 0.0  # rotation branch live
+        out = docscan_post_warp_spatial_batch(batch, cfg, mesh2)
+        for i in range(2):
+            for k in refs[i]:
+                np.testing.assert_array_equal(
+                    np.asarray(refs[i][k]), np.asarray(out[k][i]),
+                    err_msg=f"page {i} stage {k}")

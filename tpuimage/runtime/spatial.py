@@ -165,8 +165,15 @@ def _hysteresis_sharded(strong, weak, space_axis: str, max_iters: int):
                            space_axis) > 0
         return i + 1, new, changed
 
+    # initial flag == True, built through the SAME data dependence +
+    # space-pmax as the body's flag so its varying-manual-axes type
+    # matches under any enclosing mesh (e.g. the data x space batch form,
+    # where the body's flag varies over the data axis)
+    init_changed = lax.pmax(
+        jnp.maximum(jnp.any(strong | weak).astype(jnp.int32), 1),
+        space_axis) > 0
     _, strong, _ = lax.while_loop(
-        cond, body, (jnp.int32(0), strong, jnp.bool_(True)))
+        cond, body, (jnp.int32(0), strong, init_changed))
     return strong
 
 
@@ -229,39 +236,11 @@ def _hough_votes_sharded(edges_local, y0, full_h: int, w: int):
     return acc.T, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("config", "mesh", "space_axis"))
-def docscan_post_warp_spatial(warped_rgb: jnp.ndarray, config, mesh: Mesh,
-                              space_axis: str = "space"
-                              ) -> Dict[str, jnp.ndarray]:
-    """The FLAGSHIP pipeline H-sharded: DocScanner stages 04-08
-    (pipelines.docscan.docscan_post_warp) on a single page split across a
-    mesh axis — for pages too large for one chip (SURVEY §2.3 TP/CP row;
-    the reference downscales instead, DocScanner.py:27-36).
-
-    Bit-identical to ``docscan_post_warp(warped_rgb, config)`` (the plain
-    ops path) — asserted by tests/test_runtime.py on the CPU mesh:
-
-    * stencils (illum/ink gaussians, blackhat, adaptive threshold, 2x2
-      ink dilate, morph close) run on halo-exchanged blocks with the
-      exact border semantics of each op (reflect101 / replicate /
-      constant 0-255 realized by global-row masks);
-    * global statistics: NORM_MINMAX min/max via pmin/pmax with the same
-      affine expression; the two Otsu solves psum RAW-plane histograms
-      and reuse the normalize-LUT pullback (docscan._raw_otsu_threshold)
-      — no normalized plane materializes on any shard;
-    * Canny hysteresis floods to the global fixpoint with per-iteration
-      1-row halo exchange (_hysteresis_sharded);
-    * the Hough deskew accumulator is the psum of per-shard global-
-      coordinate votes (_hough_votes_sharded), then the same fold-median;
-    * the deskew ROTATION (rare: angle != 0) all_gathers the weighted
-      binary and applies the SAME rotation op before re-slicing — exact
-      by construction, at the cost of one full-image replica per shard;
-      a halo'd distributed rotation is future work (angle == 0
-      short-circuits it, and the golden config always lands there).
-
-    Requires h %% axis_size == 0 and every halo < the shard height
-    (asserted; pad or use fewer shards otherwise).
-    """
+def _make_post_warp_local(config, h: int, w: int, ndev: int,
+                          space_axis: str):
+    """Build the per-shard local function for the H-sharded DocScanner
+    post-warp (shared by the single-page and the data-parallel batched
+    wrappers below). Validates the static halo geometry."""
     from tpuimage.pipelines.docscan import (_raw_otsu_threshold, _rotate_for)
     from tpuimage.ops import color as colorops
     from tpuimage.ops.filters import gaussian_blur_u8
@@ -274,8 +253,6 @@ def docscan_post_warp_spatial(warped_rgb: jnp.ndarray, config, mesh: Mesh,
     from tpuimage.core.dtypes import saturate_u8, f32, i32
 
     c = config
-    h, w = int(warped_rgb.shape[0]), int(warped_rgb.shape[1])
-    ndev = mesh.shape[space_axis]
     assert h % ndev == 0, f"H={h} must divide the {space_axis} axis ({ndev})"
     hl = h // ndev
 
@@ -392,12 +369,97 @@ def docscan_post_warp_spatial(warped_rgb: jnp.ndarray, config, mesh: Mesh,
                 "clean": clean, "deskew_angle": angle,
                 "deskew_overflow": overflow}
 
-    spec = P(space_axis, None)
+    return local
+
+
+def _post_warp_out_specs(space_axis: str, data_axis: str | None = None):
+    lead = (data_axis,) if data_axis else ()
+    spec = P(*lead, space_axis, None)
     out_specs = {k: spec for k in ("illum", "stretch", "inkmask", "adapt",
                                    "weighted", "deskew", "clean")}
-    out_specs["deskew_angle"] = P()
-    out_specs["deskew_overflow"] = P()
+    out_specs["deskew_angle"] = P(*lead)
+    out_specs["deskew_overflow"] = P(*lead)
+    return out_specs
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh", "space_axis"))
+def docscan_post_warp_spatial(warped_rgb: jnp.ndarray, config, mesh: Mesh,
+                              space_axis: str = "space"
+                              ) -> Dict[str, jnp.ndarray]:
+    """The FLAGSHIP pipeline H-sharded: DocScanner stages 04-08
+    (pipelines.docscan.docscan_post_warp) on a single page split across a
+    mesh axis — for pages too large for one chip (SURVEY §2.3 TP/CP row;
+    the reference downscales instead, DocScanner.py:27-36).
+
+    Bit-identical to ``docscan_post_warp(warped_rgb, config)`` (the plain
+    ops path) — asserted by tests/test_runtime.py on the CPU mesh:
+
+    * stencils (illum/ink gaussians, blackhat, adaptive threshold, 2x2
+      ink dilate, morph close) run on halo-exchanged blocks with the
+      exact border semantics of each op (reflect101 / replicate /
+      constant 0-255 realized by global-row masks);
+    * global statistics: NORM_MINMAX min/max via pmin/pmax with the same
+      affine expression; the two Otsu solves psum RAW-plane histograms
+      and reuse the normalize-LUT pullback (docscan._raw_otsu_threshold)
+      — no normalized plane materializes on any shard;
+    * Canny hysteresis floods to the global fixpoint with per-iteration
+      1-row halo exchange (_hysteresis_sharded);
+    * the Hough deskew accumulator is the psum of per-shard global-
+      coordinate votes (_hough_votes_sharded), then the same fold-median;
+    * the deskew ROTATION (rare: angle != 0) all_gathers the weighted
+      binary and applies the SAME rotation op before re-slicing — exact
+      by construction, at the cost of one full-image replica per shard;
+      a halo'd distributed rotation is future work (angle == 0
+      short-circuits it, and the golden config always lands there).
+
+    Requires h %% axis_size == 0 and every halo < the shard height
+    (asserted; pad or use fewer shards otherwise).
+    """
+    h, w = int(warped_rgb.shape[0]), int(warped_rgb.shape[1])
+    local = _make_post_warp_local(config, h, w, mesh.shape[space_axis],
+                                  space_axis)
     mapped = jax.shard_map(local, mesh=mesh,
                            in_specs=(P(space_axis, None, None),),
-                           out_specs=out_specs)
+                           out_specs=_post_warp_out_specs(space_axis))
     return mapped(warped_rgb)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh", "data_axis",
+                                             "space_axis"))
+def docscan_post_warp_spatial_batch(batch_rgb: jnp.ndarray, config,
+                                    mesh: Mesh, data_axis: str = "data",
+                                    space_axis: str = "space"
+                                    ) -> Dict[str, jnp.ndarray]:
+    """Batched serving form of :func:`docscan_post_warp_spatial` on a
+    2-axis data x space mesh: the batch dim shards over ``data_axis``
+    (DP) while every page is simultaneously H-sharded over ``space_axis``
+    — the full dp x sp layout of the flagship. The per-shard local
+    function is vmapped over the local batch, so the space-axis
+    collectives (pmin/pmax, psum'd histograms and votes, hysteresis halo
+    exchanges) batch across pages in ONE collective each per step.
+
+    Note the vmapped rotation cond becomes a select: every page pays the
+    all_gather rotate when ANY page needs it (vmap(lax.cond) runs both
+    branches). Batches that all land at angle == 0 — the golden config's
+    case — still short-circuit, because the branch output is masked per
+    page, not per batch; the cost, not the result, is batched.
+
+    Requires batch %% data axis == 0 and h %% space axis == 0.
+    """
+    b, h, w = (int(batch_rgb.shape[0]), int(batch_rgb.shape[1]),
+               int(batch_rgb.shape[2]))
+    assert b % mesh.shape[data_axis] == 0, \
+        f"batch {b} must divide the {data_axis} axis"
+    local = _make_post_warp_local(config, h, w, mesh.shape[space_axis],
+                                  space_axis)
+    # check_vma=False: jax's static varying-manual-axes analysis rejects
+    # constant-minus-traced subtraction inside geometry.rotate_traced_tiled
+    # under the vmapped 2-axis mesh ("Please open an issue..."); the
+    # runtime semantics are unaffected and the test asserts bit-equality
+    # against the unsharded pipeline.
+    mapped = jax.shard_map(jax.vmap(local), mesh=mesh,
+                           in_specs=(P(data_axis, space_axis, None, None),),
+                           out_specs=_post_warp_out_specs(space_axis,
+                                                          data_axis),
+                           check_vma=False)
+    return mapped(batch_rgb)
