@@ -21,12 +21,21 @@ def _build() -> bool:
                 and all(os.path.getmtime(_SO) >= os.path.getmtime(s)
                         for s in _SRCS)):
             return True
-        # NO -ffast-math / -march: the haar evaluator's bit-parity contract
-        # needs plain IEEE double ops without FMA contraction (SSE2 target)
-        r = subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS,
-             "-o", _SO],
-            capture_output=True, timeout=120)
+        # NO -ffast-math: the haar evaluator's bit-parity contract needs
+        # plain IEEE double ops; -ffp-contract=off forbids FMA contraction
+        # even with wider ISAs. -mavx2 (guarded by a cpuinfo check) enables
+        # the 4-lane window path in haar.cpp — per-lane IEEE semantics are
+        # identical to scalar.
+        flags = ["-O3", "-shared", "-fPIC", "-std=c++17",
+                 "-ffp-contract=off"]
+        try:
+            with open("/proc/cpuinfo") as f:
+                if " avx2 " in f.read().replace("\n", " "):
+                    flags.append("-mavx2")
+        except OSError:
+            pass
+        r = subprocess.run(["g++", *flags, *_SRCS, "-o", _SO],
+                           capture_output=True, timeout=120)
         return r.returncode == 0
     except Exception:
         return False

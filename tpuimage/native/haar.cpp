@@ -24,6 +24,10 @@
 #include <cmath>
 #include <vector>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // per-level precomputed rect: the four integral-image corner offsets
@@ -105,55 +109,143 @@ extern "C" int64_t tpuimage_haar_level(
     const int64_t vo00 = stride + 1, vo01 = vo00 + nw;
     const int64_t vo10 = vo00 + nh * stride, vo11 = vo10 + nw;
 
+    const uint8_t* nr = nrect.data();
+    const float* lv = leaves;
+    const float* nt = node_thr;
+
+    // scalar single-window evaluation (tail windows + non-AVX2 builds)
+    auto eval_one = [&](int64_t o) -> bool {
+        const double vs = (double)((int64_t)ii[o + vo11] - ii[o + vo01]
+                                   - ii[o + vo10] + ii[o + vo00]);
+        const double vq = sq[o + vo11] - sq[o + vo01]
+                        - sq[o + vo10] + sq[o + vo00];
+        const double nf2 = vq * area - vs * vs;
+        if (!(nf2 > 0.0))
+            return false;
+        const double nf = std::sqrt(nf2);
+        for (int64_t s = 0; s < n_stages; ++s) {
+            double ssum = 0.0;
+            const int32_t w1 = stage_bounds[s + 1];
+            for (int32_t wc = stage_bounds[s]; wc < w1; ++wc) {
+                const RectOfs* t = tab.data() + (int64_t)wc * 3;
+                const int n = nr[wc];
+                double val = 0.0;
+                for (int r = 0; r < n; ++r) {
+                    const RectOfs& q = t[r];
+                    const int32_t rs = ii[o + q.o11] - ii[o + q.o01]
+                                     - ii[o + q.o10] + ii[o + q.o00];
+                    val += (double)q.wt * (double)rs;
+                }
+                const float leaf = (val < (double)nt[wc] * nf)
+                                       ? lv[wc * 2] : lv[wc * 2 + 1];
+                ssum += (double)leaf;
+            }
+            if (!(ssum >= (double)stage_thr[s]))
+                return false;
+        }
+        return true;
+    };
+
     int64_t count = 0;
+    auto emit = [&](int64_t ox, int64_t oy) -> bool {
+        if (count >= cap)
+            return false;
+        out_xy[count * 2] = (int32_t)ox;
+        out_xy[count * 2 + 1] = (int32_t)oy;
+        ++count;
+        return true;
+    };
+
     for (int64_t oy = 0; oy < oh; oy += step) {
         const int64_t orow = oy * stride;
-        for (int64_t ox = 0; ox < ow; ox += step) {
+        int64_t ox = 0;
+#ifdef __AVX2__
+        // 4 adjacent windows per iteration: SIMD double lanes are IEEE
+        // per-lane, so every lane computes the identical scalar result.
+        // The early stages (where >40% of windows are alive and lanes are
+        // rarely all-dead) vectorize ~4x; later stages pay for dead lanes
+        // but carry little weight. Lanes dead from the start (nf2 <= 0)
+        // produce NaN nf, whose ordered compares select the right leaf
+        // arbitrarily — they are masked out of `alive` and never emitted.
+        for (; ox + 3 * step < ow; ox += 4 * step) {
             const int64_t o = orow + ox;
-            // variance normalization over normrect (1,1,w-2,h-2)
-            const double vs = (double)((int64_t)ii[o + vo11] - ii[o + vo01]
-                                       - ii[o + vo10] + ii[o + vo00]);
-            const double vq = sq[o + vo11] - sq[o + vo01]
-                            - sq[o + vo10] + sq[o + vo00];
-            const double nf2 = vq * area - vs * vs;
-            if (!(nf2 > 0.0))
+            const __m128i lane_ofs = _mm_setr_epi32(
+                0, (int)step, (int)(2 * step), (int)(3 * step));
+            auto gather_i = [&](int64_t off) {
+                const __m128i vi = _mm_add_epi32(
+                    _mm_set1_epi32((int)(o + off)), lane_ofs);
+                return _mm_i32gather_epi32(ii, vi, 4);
+            };
+            auto gather_d = [&](int64_t off) {
+                const __m128i vi = _mm_add_epi32(
+                    _mm_set1_epi32((int)(o + off)), lane_ofs);
+                return _mm256_i32gather_pd(sq, vi, 8);
+            };
+            // variance normalization, 4 lanes
+            const __m128i vsi = _mm_add_epi32(
+                _mm_sub_epi32(_mm_sub_epi32(gather_i(vo11), gather_i(vo01)),
+                              gather_i(vo10)),
+                gather_i(vo00));
+            const __m256d vs = _mm256_cvtepi32_pd(vsi);
+            const __m256d vq = _mm256_add_pd(
+                _mm256_sub_pd(_mm256_sub_pd(gather_d(vo11), gather_d(vo01)),
+                              gather_d(vo10)),
+                gather_d(vo00));
+            const __m256d nf2 = _mm256_sub_pd(
+                _mm256_mul_pd(vq, _mm256_set1_pd(area)),
+                _mm256_mul_pd(vs, vs));
+            __m256d alive = _mm256_cmp_pd(nf2, _mm256_setzero_pd(),
+                                          _CMP_GT_OQ);
+            if (!_mm256_movemask_pd(alive))
                 continue;
-            const double nf = std::sqrt(nf2);
+            const __m256d nf = _mm256_sqrt_pd(nf2);
 
-            bool ok = true;
-            const uint8_t* nr = nrect.data();
-            const float* lv = leaves;
-            const float* nt = node_thr;
             for (int64_t s = 0; s < n_stages; ++s) {
-                double ssum = 0.0;
+                __m256d ssum = _mm256_setzero_pd();
                 const int32_t w1 = stage_bounds[s + 1];
                 for (int32_t wc = stage_bounds[s]; wc < w1; ++wc) {
                     const RectOfs* t = tab.data() + (int64_t)wc * 3;
                     const int n = nr[wc];
-                    double val = 0.0;
+                    __m256d val = _mm256_setzero_pd();
                     for (int r = 0; r < n; ++r) {
                         const RectOfs& q = t[r];
-                        const int32_t rs = ii[o + q.o11] - ii[o + q.o01]
-                                         - ii[o + q.o10] + ii[o + q.o00];
-                        val += (double)q.wt * (double)rs;
+                        const __m128i rsi = _mm_add_epi32(
+                            _mm_sub_epi32(_mm_sub_epi32(gather_i(q.o11),
+                                                        gather_i(q.o01)),
+                                          gather_i(q.o10)),
+                            gather_i(q.o00));
+                        val = _mm256_add_pd(
+                            val, _mm256_mul_pd(_mm256_set1_pd((double)q.wt),
+                                               _mm256_cvtepi32_pd(rsi)));
                     }
-                    const float leaf = (val < (double)nt[wc] * nf)
-                                           ? lv[wc * 2] : lv[wc * 2 + 1];
-                    ssum += (double)leaf;
+                    const __m256d cm = _mm256_cmp_pd(
+                        val,
+                        _mm256_mul_pd(_mm256_set1_pd((double)nt[wc]), nf),
+                        _CMP_LT_OQ);
+                    const __m256d leaf = _mm256_blendv_pd(
+                        _mm256_set1_pd((double)lv[wc * 2 + 1]),
+                        _mm256_set1_pd((double)lv[wc * 2]), cm);
+                    ssum = _mm256_add_pd(ssum, leaf);
                 }
-                if (!(ssum >= (double)stage_thr[s])) {
-                    ok = false;
+                alive = _mm256_and_pd(
+                    alive,
+                    _mm256_cmp_pd(ssum,
+                                  _mm256_set1_pd((double)stage_thr[s]),
+                                  _CMP_GE_OQ));
+                if (!_mm256_movemask_pd(alive))
                     break;
-                }
             }
-            if (ok && count < cap) {
-                out_xy[count * 2] = (int32_t)ox;
-                out_xy[count * 2 + 1] = (int32_t)oy;
-                ++count;
-            } else if (ok) {
-                return -(count + 1);  // capacity overflow: caller retries
-            }
+            const int m = _mm256_movemask_pd(alive);
+            for (int k = 0; k < 4; ++k)
+                if ((m >> k) & 1)
+                    if (!emit(ox + k * step, oy))
+                        return -(count + 1);
         }
+#endif
+        for (; ox < ow; ox += step)
+            if (eval_one(orow + ox))
+                if (!emit(ox, oy))
+                    return -(count + 1);
     }
     return count;
 }
