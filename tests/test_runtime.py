@@ -234,3 +234,18 @@ class TestSpatialDocscan:
                 np.testing.assert_array_equal(
                     np.asarray(refs[i][k]), np.asarray(out[k][i]),
                     err_msg=f"page {i} stage {k}")
+
+    def test_process_document_space_mesh(self, space_mesh, tmp_path):
+        """The user-facing process_document(space_mesh=...) runs the
+        post-warp stages H-sharded and must equal the unsharded run."""
+        path = "/root/reference/public/DIP test/document1.jpeg"
+        cfg = docscan.GUI_DOCUMENT_CONFIG
+        a = docscan.process_document(path, config=cfg, out_dir=None,
+                                     save_stages=False)
+        b = docscan.process_document(path, config=cfg, out_dir=None,
+                                     save_stages=False,
+                                     space_mesh=space_mesh)
+        for k in a["stages"]:
+            np.testing.assert_array_equal(np.asarray(a["stages"][k]),
+                                          np.asarray(b["stages"][k]),
+                                          err_msg=f"stage {k}")

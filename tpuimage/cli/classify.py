@@ -14,6 +14,8 @@ from tpuimage.classify.router import classify_and_enhance
 
 
 def main(argv=None) -> None:
+    from tpuimage.runtime.cache import maybe_enable_compile_cache
+    maybe_enable_compile_cache()   # TPUIMAGE_XLA_CACHE opt-in
     p = argparse.ArgumentParser(description="Scene classification + routed "
                                 "enhancement (AI_classification workload, headless)")
     p.add_argument("inputs", nargs="+")

@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from tpuimage.runtime.cache import maybe_enable_compile_cache
+    maybe_enable_compile_cache()   # TPUIMAGE_XLA_CACHE opt-in
     args = build_parser().parse_args(argv)
     if args.gui_preset:
         cfg = docscan.GUI_DOCUMENT_CONFIG

@@ -12,6 +12,8 @@ from tpuimage.pipelines.face import enhance_face
 
 
 def main(argv=None) -> None:
+    from tpuimage.runtime.cache import maybe_enable_compile_cache
+    maybe_enable_compile_cache()   # TPUIMAGE_XLA_CACHE opt-in
     p = argparse.ArgumentParser(description="Noise-adaptive portrait "
                                 "enhancement (FaceEnhancement workload)")
     p.add_argument("input", nargs="?",

@@ -28,6 +28,8 @@ def collect(path: str):
 
 
 def main(argv=None) -> None:
+    from tpuimage.runtime.cache import maybe_enable_compile_cache
+    maybe_enable_compile_cache()   # TPUIMAGE_XLA_CACHE opt-in
     p = argparse.ArgumentParser(description="Batch landscape enhancement + "
                                 "degrade/restore evaluation")
     p.add_argument("input", help="image file or folder")

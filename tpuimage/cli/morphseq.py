@@ -8,6 +8,8 @@ from tpuimage.pipelines.morphseq import process_morph_seq
 
 
 def main(argv=None) -> None:
+    from tpuimage.runtime.cache import maybe_enable_compile_cache
+    maybe_enable_compile_cache()   # TPUIMAGE_XLA_CACHE opt-in
     p = argparse.ArgumentParser(
         description="4-step document morphology pipeline (ksize=3)")
     p.add_argument("input")

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 
 def main(argv=None) -> None:
+    from tpuimage.runtime.cache import maybe_enable_compile_cache
+    maybe_enable_compile_cache()   # TPUIMAGE_XLA_CACHE opt-in
     p = argparse.ArgumentParser(description="Low-light enhancement "
                                 "(median3 + CLAHE), gray or RGB variant")
     p.add_argument("input")

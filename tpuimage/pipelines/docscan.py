@@ -582,11 +582,18 @@ def _post_warp_serve_host(batch: jnp.ndarray, config: DocScanConfig):
 
 def process_document(input_path, out_dir: Optional[str] = "outputs",
                      config: DocScanConfig = DocScanConfig(),
-                     save_stages: bool = True, do_ocr: bool = False) -> dict:
+                     save_stages: bool = True, do_ocr: bool = False,
+                     space_mesh=None) -> dict:
     """DocScanner.py:262-365 process_document: returns {quad, warped,
     binary, stages...}; optionally dumps every stage PNG like the
     reference (scan_01..scan_08). ``input_path`` may also be an RGB uint8
-    ndarray (in-memory serving path)."""
+    ndarray (in-memory serving path).
+
+    space_mesh: optional jax Mesh with a "space" axis — runs the post-warp
+    stages H-sharded across its devices (pages too large for one chip;
+    runtime.spatial.docscan_post_warp_spatial, bit-identical output). The
+    warped height must divide the axis size; otherwise this falls back to
+    the single-device program with a warning."""
     if isinstance(input_path, (str, os.PathLike)):
         rgb = load_image_rgb(input_path)
     else:
@@ -625,7 +632,20 @@ def process_document(input_path, out_dir: Optional[str] = "outputs",
                                            interpolation="area")
     dump("scan_03_warped.png", warped)
 
-    stages = docscan_post_warp(warped, c)
+    if space_mesh is not None:
+        ndev = space_mesh.shape["space"]
+        if int(warped.shape[0]) % ndev == 0:
+            from tpuimage.runtime.spatial import docscan_post_warp_spatial
+            stages = docscan_post_warp_spatial(jnp.asarray(warped), c,
+                                               space_mesh)
+        else:
+            import warnings
+            warnings.warn(f"warped height {int(warped.shape[0])} does not "
+                          f"divide the space axis ({ndev}); running the "
+                          "post-warp stages unsharded")
+            stages = docscan_post_warp(warped, c)
+    else:
+        stages = docscan_post_warp(warped, c)
     dump("scan_04_illum.png", stages["illum"])
     dump("scan_05_stretch.png", stages["stretch"])
     dump("scan_05a_inkmask.png", stages["inkmask"])
