@@ -237,9 +237,12 @@ class TestSpatialDocscan:
 
     def test_process_document_space_mesh(self, space_mesh, tmp_path):
         """The user-facing process_document(space_mesh=...) runs the
-        post-warp stages H-sharded and must equal the unsharded run."""
+        post-warp stages H-sharded and must equal the unsharded run.
+        (Small scale_long: full-page sharded parity is already covered by
+        test_real_page_bitexact; this asserts the API wiring.)"""
         path = "/root/reference/public/DIP test/document1.jpeg"
-        cfg = docscan.GUI_DOCUMENT_CONFIG
+        cfg = docscan.DocScanConfig(scale_long=240, mask_blur_ksize=15,
+                                    block_size=15, blackhat_ksize=3)
         a = docscan.process_document(path, config=cfg, out_dir=None,
                                      save_stages=False)
         b = docscan.process_document(path, config=cfg, out_dir=None,
