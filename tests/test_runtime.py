@@ -252,3 +252,10 @@ class TestSpatialDocscan:
             np.testing.assert_array_equal(np.asarray(a["stages"][k]),
                                           np.asarray(b["stages"][k]),
                                           err_msg=f"stage {k}")
+
+
+class TestHealth:
+    def test_device_available_cpu(self):
+        from tpuimage.runtime.health import device_available, require_device
+        assert device_available(60)
+        require_device(60, what="tests")  # must not raise on a live backend

@@ -10,6 +10,11 @@ from tpuimage.pipelines.morphseq import process_morph_seq
 def main(argv=None) -> None:
     from tpuimage.runtime.cache import maybe_enable_compile_cache
     maybe_enable_compile_cache()   # TPUIMAGE_XLA_CACHE opt-in
+    import os as _os
+    _dt = float(_os.environ.get("TPUIMAGE_DEVICE_TIMEOUT", "600"))
+    if _dt > 0:
+        from tpuimage.runtime.health import require_device
+        require_device(_dt, what="the %s CLI" % __name__)
     p = argparse.ArgumentParser(
         description="4-step document morphology pipeline (ksize=3)")
     p.add_argument("input")
