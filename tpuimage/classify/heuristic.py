@@ -8,7 +8,6 @@ large-rectangle cue and the Haar face count use the host detectors
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import numpy as np

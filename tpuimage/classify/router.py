@@ -6,7 +6,7 @@ tpuimage pipeline with the GUI's exact overrides.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
 
 from tpuimage.io.imageio import load_image_rgb, save_image, ensure_dir
 from tpuimage.classify.router import classify_and_enhance

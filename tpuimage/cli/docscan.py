@@ -3,7 +3,6 @@ flags included."""
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 from tpuimage.pipelines import docscan
 

@@ -37,10 +37,7 @@ import xml.etree.ElementTree as ET
 from typing import Dict, List, Tuple
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
-from tpuimage.ops.geometry import resize
 
 _CASCADE_SEARCH_PATHS = [
     "/usr/share/opencv4/haarcascades",

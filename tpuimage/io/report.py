@@ -15,7 +15,6 @@ replaces with files:
 """
 from __future__ import annotations
 
-import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np

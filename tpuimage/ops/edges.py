@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tpuimage.core.borders import pad2d, BORDER_REFLECT_101
-from tpuimage.core.dtypes import saturate_u8, f32, i32
+from tpuimage.core.dtypes import f32
 
 _SOBEL_3 = {
     # (deriv order dx, dy) -> 3x3 kernel (correlation form, like cv2)

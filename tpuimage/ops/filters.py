@@ -15,7 +15,6 @@ against cv2 5.0 impulse responses; see tests/test_filters.py.)
 """
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from jax import lax
 
-from tpuimage.core.dtypes import saturate_u8, f32, i32
+from tpuimage.core.dtypes import saturate_u8, f32
 from tpuimage.core.borders import pad2d
 
 # ---------------------------------------------------------------------------

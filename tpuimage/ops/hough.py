@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tpuimage.core.dtypes import f32, i32
+from tpuimage.core.dtypes import f32
 
 
 _LO_BINS = 64

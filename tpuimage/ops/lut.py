@@ -20,7 +20,6 @@ the chunk loop blocks exactly that fusion.
 """
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 from jax import lax
 

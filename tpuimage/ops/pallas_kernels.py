@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuimage.core.dtypes import saturate_u8
 
 # whole padded f32 image must fit in VMEM alongside the band scratch
 _VMEM_PADDED_BYTES = 12 * 1024 * 1024

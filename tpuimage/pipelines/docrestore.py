@@ -14,7 +14,7 @@ from __future__ import annotations
 import csv
 import glob
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax

@@ -40,7 +40,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpuimage.core.dtypes import f32, saturate_u8
+from tpuimage.core.dtypes import f32
 from tpuimage.ops.bilateral import bilateral_filter
 from tpuimage.ops.filters import gaussian_blur_u8
 from tpuimage.ops import color as colorops
@@ -48,7 +48,7 @@ from tpuimage.ops.arith import (subtract_u8, divide_u8, normalize_minmax,
                                 normalize_minmax_lut, max_u8)
 from tpuimage.ops.threshold import adaptive_threshold, threshold_binary
 from tpuimage.ops.histogram import hist256, otsu_from_hist
-from tpuimage.ops.morphology import structuring_element, erode, dilate, morph_close, morph_blackhat
+from tpuimage.ops.morphology import structuring_element, dilate, morph_close, morph_blackhat
 from tpuimage.ops.edges import canny
 from tpuimage.ops.hough import hough_fold_median_angle, hough_lines_p_det
 from tpuimage.ops import geometry

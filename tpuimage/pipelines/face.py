@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuimage.core.dtypes import f32, saturate_u8, trunc_u8
+from tpuimage.core.dtypes import f32, trunc_u8
 from tpuimage.ops.median import median_blur
 from tpuimage.ops.filters import gaussian_blur_u8
 from tpuimage.ops.bilateral import bilateral_filter

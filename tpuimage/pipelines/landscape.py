@@ -20,7 +20,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from tpuimage.core.dtypes import f32, saturate_u8, trunc_u8
+from tpuimage.core.dtypes import f32, trunc_u8
 from tpuimage.ops.median import median_blur
 from tpuimage.ops.bilateral import bilateral_filter
 from tpuimage.ops.nlm import nlm_denoise_colored

@@ -13,7 +13,6 @@ argmax. The batched form `morphseq_batch` maps it over NHW C uint8 stacks.
 """
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict
 

@@ -8,7 +8,6 @@ program, vmappable over batches.
 from __future__ import annotations
 
 import functools
-from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ communication backend on TPU (SURVEY.md §5 last bullet).
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Sequence
 
 import numpy as np

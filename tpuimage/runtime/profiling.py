@@ -14,7 +14,6 @@ import logging
 import time
 from typing import Dict, Optional
 
-import numpy as np
 import jax
 
 log = logging.getLogger("tpuimage")
