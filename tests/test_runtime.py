@@ -118,6 +118,29 @@ class TestSpatialGlobalStats:
         d = np.abs(np.asarray(out["enhanced"]).astype(int) - ref.astype(int))
         assert d.max() <= 1 and np.mean(d > 0) < 0.005
 
+    def test_night_rgb_sharded(self, space_mesh):
+        """night_rgb H-sharded: integer median bit-exact; the f32 LAB+CLAHE
+        blend within the repo's float-blend contract (±1 LSB, <0.5%)."""
+        from tpuimage.runtime.spatial import night_rgb_spatial
+        from tpuimage.ops.median import median_blur
+        from tpuimage.ops.histogram import clahe
+        from tpuimage.ops import color as colorops
+        from PIL import Image
+        with Image.open("/root/reference/public/nightview.png") as im:
+            rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)[:848, :1280]
+        out = night_rgb_spatial(jnp.asarray(rgb), space_mesh)
+        filt = median_blur(jnp.asarray(rgb), 3)
+        np.testing.assert_array_equal(np.asarray(out["filtered"]),
+                                      np.asarray(filt))
+        lab = colorops.rgb_to_lab(filt)
+        l_enh = clahe(lab[..., 0], clip_limit=2.0, tiles_x=8, tiles_y=8,
+                      impl="mxu")
+        ref = colorops.lab_to_rgb(
+            jnp.concatenate([l_enh[..., None], lab[..., 1:]], axis=-1))
+        d = np.abs(np.asarray(out["enhanced"]).astype(int)
+                   - np.asarray(ref).astype(int))
+        assert d.max() <= 1 and np.mean(d > 0) < 0.005
+
     def test_global_reductions_match_unsharded(self, rng, space_mesh):
         from tpuimage.runtime import spatial as sp
         from tpuimage.ops.histogram import hist256, otsu_from_hist

@@ -137,6 +137,68 @@ def night_gray_spatial(gray: jnp.ndarray, mesh: Mesh,
     return mapped(gray, R)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "space_axis",
+                                             "clip_limit", "tiles_x",
+                                             "tiles_y"))
+def night_rgb_spatial(rgb: jnp.ndarray, mesh: Mesh,
+                      space_axis: str = "space", clip_limit: float = 2.0,
+                      tiles_x: int = 8, tiles_y: int = 8
+                      ) -> Dict[str, jnp.ndarray]:
+    """pipelines.night.night_rgb H-sharded over ``space_axis``: median3
+    with a 1-row replicate halo, RGB->LAB (pointwise, no communication),
+    CLAHE on the L plane with the same sharded tile-histogram + LUT
+    all_gather scheme as night_gray_spatial, LAB->RGB pointwise.
+    Same divisibility requirements. The integer stages (median) are
+    bit-identical; the f32 LAB+CLAHE blend lands within the repo's
+    float-blend contract (±1 LSB on <0.5%% of pixels — measured 1e-6 on
+    nightview: XLA fuses/contracts the f32 chain differently inside
+    shard_map than in the unsharded program, the same uncontrollable
+    FMA-contraction caveat as the CPU/TPU clahe split; CLAUDE.md)."""
+    from tpuimage.ops import color as colorops
+    from tpuimage.ops.histogram import (_clahe_tile_luts, clahe_blend_matrix,
+                                        clahe_apply_matrix)
+    from tpuimage.ops.median import median_blur
+
+    h, w = int(rgb.shape[0]), int(rgb.shape[1])
+    ndev = mesh.shape[space_axis]
+    assert h % tiles_y == 0 and w % tiles_x == 0, \
+        "sharded CLAHE needs tile-divisible dims (pad on host first)"
+    assert tiles_y % ndev == 0, \
+        f"tiles_y={tiles_y} must be divisible by the {space_axis} axis ({ndev})"
+    th, tw = h // tiles_y, w // tiles_x
+    ty_local = tiles_y // ndev
+    h_local = h // ndev
+
+    R = jnp.asarray(clahe_blend_matrix(h, th, tiles_y))
+    C = jnp.asarray(clahe_blend_matrix(w, tw, tiles_x).T)
+    impl = "scatter" if jax.default_backend() == "cpu" else "mxu"
+
+    def local(x, R_full):
+        xh = halo_exchange(x, 1, space_axis, border="replicate")
+        filt = median_blur(xh, 3)[1:-1]
+        lab = colorops.rgb_to_lab(filt)
+        lplane = lab[..., 0]
+        tiles = (lplane.reshape(ty_local, th, tiles_x, tw)
+                 .transpose(0, 2, 1, 3).reshape(ty_local * tiles_x, th * tw))
+        luts_local = _clahe_tile_luts(tiles, clip_limit, th * tw, impl=impl)
+        luts = lax.all_gather(luts_local, space_axis, tiled=True)
+        luts = luts.astype(jnp.float32).reshape(tiles_y, tiles_x, 256)
+        idx = lax.axis_index(space_axis)
+        R_loc = lax.dynamic_slice(R_full, (idx * h_local, 0),
+                                  (h_local, tiles_y))
+        l_enh = clahe_apply_matrix(lplane, luts, R_loc, C)
+        lab_enh = jnp.concatenate([l_enh[..., None], lab[..., 1:]], axis=-1)
+        enh = colorops.lab_to_rgb(lab_enh)
+        return {"original": x, "filtered": filt, "enhanced": enh}
+
+    spec = P(space_axis, None, None)
+    mapped = jax.shard_map(local, mesh=mesh,
+                           in_specs=(spec, P(None, None)),
+                           out_specs={"original": spec, "filtered": spec,
+                                      "enhanced": spec})
+    return mapped(rgb, R)
+
+
 # ---------------------------------------------------------------------------
 # spatially-sharded DocScanner post-warp (the flagship, H-sharded)
 # ---------------------------------------------------------------------------
