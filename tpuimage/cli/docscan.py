@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compare", action="store_true",
                    help="write a side-by-side input/binary composite "
                         "(compare-viewer replacement)")
+    p.add_argument("--profile", action="store_true",
+                   help="print a per-stage wall-clock / MP/s report "
+                        "(runtime.profiling.Throughput)")
     return p
 
 
@@ -80,8 +83,22 @@ def main(argv=None) -> None:
             max_rotate=args.max_rotate,
             fallback_use_whole=args.fallback_use_whole,
             min_quad_area_ratio=args.min_quad_area_ratio)
-    res = docscan.process_document(args.input, out_dir=args.out, config=cfg,
-                                   do_ocr=args.ocr)
+    if args.profile:
+        from tpuimage.io.imageio import load_image_rgb as _load
+        from tpuimage.runtime.profiling import Throughput, sync
+        import logging
+        logging.basicConfig(level=logging.INFO, format="%(message)s")
+        rgb = _load(args.input)
+        mp = rgb.shape[0] * rgb.shape[1] / 1e6
+        tp = Throughput()
+        with tp.stage("process_document", megapixels=mp, images=1):
+            res = docscan.process_document(rgb, out_dir=args.out, config=cfg,
+                                           do_ocr=args.ocr)
+            sync(res["binary"])
+        tp.report()
+    else:
+        res = docscan.process_document(args.input, out_dir=args.out,
+                                       config=cfg, do_ocr=args.ocr)
     if args.compare:
         import os
         import numpy as np
