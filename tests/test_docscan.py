@@ -155,49 +155,32 @@ class TestPostWarpParity:
     def test_stages_bit_exact(self, doc_result, cfg):
         warped = np.asarray(doc_result["warped"])
         ours = docscan.docscan_post_warp(warped, cfg)
-
-        gray = cv2.cvtColor(warped[..., ::-1].copy(), cv2.COLOR_BGR2GRAY)
-        h, w = gray.shape
-        base = max(15, int(round(min(h, w) * cfg.illum_blur_frac)))
-        base += base % 2 == 0
-        bg = cv2.GaussianBlur(gray, (base, base), 0)
-        if cfg.illum_method == "divide":
-            tmp = cv2.divide(gray, bg, scale=255)
-        else:
-            tmp = cv2.subtract(gray, bg)
-        illum = cv2.normalize(tmp, None, 0, 255, cv2.NORM_MINMAX)
-        stretch = cv2.normalize(illum, None, 0, 255, cv2.NORM_MINMAX)
-
-        mbk = cfg.mask_blur_ksize + (cfg.mask_blur_ksize % 2 == 0)
-        bg2 = cv2.GaussianBlur(stretch, (mbk, mbk), 0)
-        ink = cv2.normalize(cv2.subtract(bg2, stretch), None, 0, 255, cv2.NORM_MINMAX)
-        t, _ = cv2.threshold(ink, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
-        _, ms = cv2.threshold(ink, max(0, int(round(t - cfg.mask_thresh_offset))),
-                              255, cv2.THRESH_BINARY)
-        bk = max(cfg.blackhat_ksize, 3)
-        bk += bk % 2 == 0
-        bh_h = max(3, int(round(bk * cfg.blackhat_vertical_ratio)))
-        bh_h += bh_h % 2 == 0
-        kv = cv2.getStructuringElement(cv2.MORPH_RECT, (bk, bh_h))
-        bh = cv2.normalize(cv2.morphologyEx(stretch, cv2.MORPH_BLACKHAT, kv),
-                           None, 0, 255, cv2.NORM_MINMAX)
-        t2, _ = cv2.threshold(bh, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
-        _, mb = cv2.threshold(bh, max(0, int(round(t2 - cfg.mask_thresh_offset))),
-                              255, cv2.THRESH_BINARY)
-        mask = cv2.max(ms, mb)
-        mask = cv2.dilate(mask, cv2.getStructuringElement(cv2.MORPH_RECT, (2, 2)),
-                          iterations=cfg.ink_dilate_iters)
-        bs = cfg.block_size + (cfg.block_size % 2 == 0)
-        algo = (cv2.ADAPTIVE_THRESH_GAUSSIAN_C if cfg.thresh_method == "gaussian"
-                else cv2.ADAPTIVE_THRESH_MEAN_C)
-        ab = cv2.adaptiveThreshold(stretch, 255, algo, cv2.THRESH_BINARY, bs, cfg.C)
-        wt = ab.copy()
-        wt[mask == 0] = 255
-
-        for name, ref in [("illum", illum), ("stretch", stretch),
-                          ("inkmask", mask), ("adapt", ab), ("weighted", wt)]:
+        for name, ref in _cv2_pre_deskew_oracle(warped, cfg).items():
             d = np.abs(ref.astype(int) - np.asarray(ours[name]).astype(int))
             assert d.max() == 0, f"{name}: maxdiff {d.max()}"
+
+    # varied configs: even ksizes (bump logic), mean threshold, negative C,
+    # zero dilate iters, huge offset (threshold clamps at 0), big blur frac
+    @pytest.mark.parametrize("cfg", [
+        docscan.DocScanConfig(illum_method="subtract", thresh_method="mean",
+                              block_size=21, C=-3, mask_blur_ksize=31,
+                              blackhat_ksize=15, blackhat_vertical_ratio=0.5),
+        docscan.DocScanConfig(illum_method="divide", block_size=16, C=0,
+                              mask_blur_ksize=20, ink_dilate_iters=0,
+                              mask_thresh_offset=0),
+        docscan.DocScanConfig(illum_blur_frac=0.2, mask_thresh_offset=100,
+                              ink_dilate_iters=2, blackhat_ksize=4),
+    ])
+    def test_stage_parity_config_fuzz(self, rng, cfg):
+        """Pre-deskew stage parity vs a cv2 composition on RANDOM content
+        and off-default configs — breadth for the bit-exactness claim."""
+        for shape in ((231, 177, 3), (96, 128, 3)):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            ours = docscan.docscan_post_warp(img, cfg)
+            for name, ref in _cv2_pre_deskew_oracle(img, cfg).items():
+                d = np.abs(ref.astype(int)
+                           - np.asarray(ours[name]).astype(int))
+                assert d.max() == 0, f"{cfg}: {name}: maxdiff {d.max()}"
 
     def test_deskew_angle_matches_cv2(self, doc_result):
         cfg = docscan.GUI_DOCUMENT_CONFIG
@@ -338,3 +321,45 @@ class TestFallback:
                                   fallback_use_whole=False)
         with pytest.raises(RuntimeError):
             docscan.process_document(str(p), out_dir=None, save_stages=False, config=cfg)
+
+
+def _cv2_pre_deskew_oracle(warped, cfg):
+    gray = cv2.cvtColor(warped[..., ::-1].copy(), cv2.COLOR_BGR2GRAY)
+    h, w = gray.shape
+    base = max(15, int(round(min(h, w) * cfg.illum_blur_frac)))
+    base += base % 2 == 0
+    bg = cv2.GaussianBlur(gray, (base, base), 0)
+    if cfg.illum_method == "divide":
+        tmp = cv2.divide(gray, bg, scale=255)
+    else:
+        tmp = cv2.subtract(gray, bg)
+    illum = cv2.normalize(tmp, None, 0, 255, cv2.NORM_MINMAX)
+    stretch = cv2.normalize(illum, None, 0, 255, cv2.NORM_MINMAX)
+
+    mbk = cfg.mask_blur_ksize + (cfg.mask_blur_ksize % 2 == 0)
+    bg2 = cv2.GaussianBlur(stretch, (mbk, mbk), 0)
+    ink = cv2.normalize(cv2.subtract(bg2, stretch), None, 0, 255, cv2.NORM_MINMAX)
+    t, _ = cv2.threshold(ink, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    _, ms = cv2.threshold(ink, max(0, int(round(t - cfg.mask_thresh_offset))),
+                          255, cv2.THRESH_BINARY)
+    bk = max(cfg.blackhat_ksize, 3)
+    bk += bk % 2 == 0
+    bh_h = max(3, int(round(bk * cfg.blackhat_vertical_ratio)))
+    bh_h += bh_h % 2 == 0
+    kv = cv2.getStructuringElement(cv2.MORPH_RECT, (bk, bh_h))
+    bh = cv2.normalize(cv2.morphologyEx(stretch, cv2.MORPH_BLACKHAT, kv),
+                       None, 0, 255, cv2.NORM_MINMAX)
+    t2, _ = cv2.threshold(bh, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    _, mb = cv2.threshold(bh, max(0, int(round(t2 - cfg.mask_thresh_offset))),
+                          255, cv2.THRESH_BINARY)
+    mask = cv2.max(ms, mb)
+    mask = cv2.dilate(mask, cv2.getStructuringElement(cv2.MORPH_RECT, (2, 2)),
+                      iterations=cfg.ink_dilate_iters)
+    bs = cfg.block_size + (cfg.block_size % 2 == 0)
+    algo = (cv2.ADAPTIVE_THRESH_GAUSSIAN_C if cfg.thresh_method == "gaussian"
+            else cv2.ADAPTIVE_THRESH_MEAN_C)
+    ab = cv2.adaptiveThreshold(stretch, 255, algo, cv2.THRESH_BINARY, bs, cfg.C)
+    wt = ab.copy()
+    wt[mask == 0] = 255
+    return {"illum": illum, "stretch": stretch, "inkmask": mask,
+            "adapt": ab, "weighted": wt}
