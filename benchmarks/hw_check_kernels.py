@@ -115,6 +115,12 @@ def main():
         tg = timeit(lambda: np.asarray(f_g(xs_t, ys_t, counts))[0, 0])
         t2 = timeit(lambda: np.asarray(f_2(xs_t, ys_t, counts))[0, 0])
         print(f"vote grid {tg*1e3:.2f} ms  pack2 {t2*1e3:.2f} ms")
+        f_u = jax.jit(lambda x, y, c: hough_votes_pallas(x, y, c,
+                                                         unroll=2, **kw))
+        u = np.asarray(f_u(xs_t, ys_t, counts))
+        print("unroll2 ok, equal:", np.array_equal(a, u))
+        tu = timeit(lambda: np.asarray(f_u(xs_t, ys_t, counts))[0, 0])
+        print(f"vote unroll2 {tu*1e3:.2f} ms")
 
     if "blackhat" in what:
         from tpuimage.ops.morphology import morph_blackhat, structuring_element

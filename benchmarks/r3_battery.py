@@ -150,6 +150,18 @@ def sec_vote():
             ("pack2+wins r64", dict(rows=64, theta_wins=wins,
                                     win_hi=span, theta_pack=2)),
             ("pack2 noclip-wins r128", dict(rows=128, theta_pack=2)),
+            # unrolled serial schedules: U chunks per fori body (one basic
+            # block) so Mosaic can overlap chunk j+1's VPU one-hot build
+            # with chunk j's MXU dot without the pipelined-carry VMEM trap
+            ("grid+wins r128 unroll2", dict(rows=128, theta_wins=wins,
+                                            win_hi=span, unroll=2)),
+            ("grid+wins r64 unroll2", dict(rows=64, theta_wins=wins,
+                                           win_hi=span, unroll=2)),
+            ("grid+wins r64 unroll4", dict(rows=64, theta_wins=wins,
+                                           win_hi=span, unroll=4)),
+            ("pack2+wins r64 unroll2", dict(rows=64, theta_wins=wins,
+                                            win_hi=span, theta_pack=2,
+                                            unroll=2)),
     ]:
         def op(xs, name=name, kw=kw):
             def one(x, y, c):
@@ -175,6 +187,8 @@ def sec_vote():
     a = acc_of({})
     b = acc_of(dict(theta_pack=2))
     print("hw parity pack2 == grid:", np.array_equal(a, b), flush=True)
+    c = acc_of(dict(unroll=2))
+    print("hw parity unroll2 == grid:", np.array_equal(a, c), flush=True)
 
 
 def sec_canny():

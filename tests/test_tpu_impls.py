@@ -117,6 +117,10 @@ class TestHoughPallas:
         b = np.asarray(hough_mod.hough_accumulator(jnp.asarray(edges), impl="pallas"))
         np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(a, self._scatter_ref(edges))
+        # schedule knobs at the production surface: identical counts
+        c = np.asarray(hough_mod.hough_accumulator(
+            jnp.asarray(edges), impl="pallas", theta_pack=2, unroll=2))
+        np.testing.assert_array_equal(a, c)
 
     def test_bf16_kernel_equals_int8(self, rng):
         # both MXU dtypes of the vote kernel (bf16 is the default — measured
@@ -168,6 +172,39 @@ class TestHoughPallas:
                                               theta_pack=4, lo_bins=32,
                                               **kw))
             np.testing.assert_array_equal(a, c)
+
+    @pytest.mark.parametrize("with_wins", [False, True])
+    def test_unroll_equals_serial(self, rng, with_wins):
+        """unroll=U (U chunks per fori body, one basic block so Mosaic can
+        overlap the next chunk's VPU one-hot build with the current MXU
+        dot) must produce identical counts to the serial schedule,
+        including the rounded-up tail trips that read only poisoned
+        slots. rows=16 makes the trip count odd (exercises the tail)."""
+        from tpuimage.ops.pallas_kernels import hough_votes_pallas, _HOUGH_LO
+        h, w = 240, 320
+        edges = (rng.random((h, w)) < 0.1).astype(np.uint8) * 255
+        xs_t, ys_t, counts = hough_mod.band_compact_coords(
+            jnp.asarray(edges), h * w)
+        numrho = (h + w) * 2 + 1
+        c_mid = (numrho - 1) // 2
+        rho_base = max(c_mid - (w - 1) - 1, 0)
+        rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, h - 1))) + 1,
+                     numrho - 1)
+        kw = dict(numrho=numrho, rho_base=rho_base,
+                  rho_bins=rho_hi - rho_base + 1, interpret=True,
+                  theta_inner="grid", rows=16)
+        if with_wins:
+            win0, span = hough_mod.theta_windows(h, w, c_mid, rho_base,
+                                                 kw["rho_bins"], _HOUGH_LO)
+            kw.update(theta_wins=win0, win_hi=span)
+        a = np.asarray(hough_votes_pallas(xs_t, ys_t, counts, **kw))
+        for u in (2, 4):
+            b = np.asarray(hough_votes_pallas(xs_t, ys_t, counts,
+                                              unroll=u, **kw))
+            np.testing.assert_array_equal(a, b)
+        c = np.asarray(hough_votes_pallas(xs_t, ys_t, counts, theta_pack=2,
+                                          unroll=2, **kw))
+        np.testing.assert_array_equal(a, c)
 
     @pytest.mark.parametrize("shape,density", [((600, 400), 0.05),
                                                ((600, 400), 0.2),

@@ -254,11 +254,13 @@ def theta_windows(h: int, w: int, c_mid: int, rho_base: int, rho_bins: int,
 
 
 @functools.partial(jax.jit, static_argnames=("rho", "theta_bins", "max_edges",
-                                              "impl", "return_overflow"))
+                                              "impl", "return_overflow",
+                                              "theta_pack", "unroll"))
 def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
                       theta_bins: int = 180,
                       max_edges: int = 0, impl: str = "auto",
-                      return_overflow: bool = False):
+                      return_overflow: bool = False,
+                      theta_pack: int = 1, unroll: int = 1):
     """(numrho, numtheta) vote accumulator, same binning as cv2.HoughLines
     with theta = pi/theta_bins: r = round((x cos t + y sin t)/rho) + (nr-1)/2.
 
@@ -275,6 +277,12 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
     impl: "auto" = Pallas kernel on TPU / XLA one-hot scan elsewhere;
     "xla" / "pallas" force a path (the Pallas kernel runs interpreted off
     TPU; tests assert the two produce identical counts).
+
+    theta_pack / unroll tune the Pallas vote kernel's schedule (thetas
+    packed per MXU tile pass; chunks per fori body — see
+    hough_votes_pallas); identical counts on every setting, ignored on
+    the XLA path. Defaults are the measured production winners; flip
+    here after benchmarks/r3_battery.py's vote section settles them.
     """
     h, w = edges.shape
     numrho = int(round(((w + h) * 2 + 1) / rho))
@@ -309,11 +317,15 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
         # threshold == pallas_kernels._THETA_INNER_MAX_KB.
         kk_est = min(max(1, k // 128), -(-(h * w) // 128))
         rows = 128 if kk_est > 384 else 32
+        if theta_pack > 1 and (theta_pack * (span + 1) > 128
+                               or theta_bins % theta_pack):
+            theta_pack = 1  # page too tall for packed hi rows: fall back
         acc = hough_votes_pallas(xs_t, ys_t, counts, numrho, theta_bins,
                                  interpret=not on_tpu, rho_base=rho_base,
                                  rho_bins=rho_bins, rows=rows,
                                  theta_wins=win0,
-                                 win_hi=span)
+                                 win_hi=span, theta_pack=theta_pack,
+                                 unroll=unroll)
         return (acc, overflow) if return_overflow else acc
 
     thetas = np.arange(theta_bins) * (np.pi / theta_bins)

@@ -255,7 +255,8 @@ _HOUGH_ROWS = 64     # rows per in-kernel chunk (chunk = ROWS * BANDS edges)
 def _make_hough_kernel(n_hi: int, nbins: int,
                        mxu_dtype, acc_dtype, rows: int = _HOUGH_ROWS,
                        swap_mn: bool = False, lo_bins: int = _HOUGH_LO,
-                       n_chunks: int = 1, pipelined: bool = False):
+                       n_chunks: int = 1, pipelined: bool = False,
+                       unroll: int = 1):
     """votes[theta] = sum_e onehot_hi(r_e)^T @ onehot_lo(r_e) for one theta.
 
     Performance notes (measured on the axon chip, 8x 849x1200 pages):
@@ -289,6 +290,14 @@ def _make_hough_kernel(n_hi: int, nbins: int,
       every iteration, which costs more than the overlap recovers. The
       serial body lets the one-hots stream from vregs into the MXU.
       Selectable via pipelined=True for re-measurement.
+    - unroll=U (serial path only) processes U chunks per fori_loop body —
+      the SAME instruction sequence as serial, but grouped into one basic
+      block so Mosaic's in-block scheduler can overlap chunk j+1's VPU
+      one-hot build with chunk j's MXU dot WITHOUT carrying arrays across
+      iterations (the failure mode of pipelined=True). Callers must pad
+      the coordinate planes to a multiple of rows*unroll (poisoned slots
+      vote nothing, so the over-run chunks of the rounded-up trip count
+      are free); hough_votes_pallas does this.
     """
     chunk = rows * _HOUGH_BANDS
     shift = lo_bins.bit_length() - 1 if lo_bins & (lo_bins - 1) == 0 else None
@@ -326,11 +335,26 @@ def _make_hough_kernel(n_hi: int, nbins: int,
         def accumulate_serial(ct, st, rs, nt_ref, xs_ref, ys_ref, acc_ref):
             acc_ref[:] = jnp.zeros(acc_shape, acc_dtype)
 
-            def body(c, _):
-                dot_acc(acc_ref, *build(c, ct, st, rs, xs_ref, ys_ref))
-                return 0
+            if unroll == 1:
+                def body(c, _):
+                    dot_acc(acc_ref, *build(c, ct, st, rs, xs_ref, ys_ref))
+                    return 0
 
-            jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
+                jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
+            else:
+                # U independent (build, dot) pairs per body: build j+1 has
+                # no dependency on dot j, so the scheduler may run it
+                # during the dot. Over-run chunks (trip count rounded up
+                # to a multiple of U) read only poisoned slots — in-bounds
+                # by the caller's rows*unroll padding, contributing zero.
+                def body(u, _):
+                    for j in range(unroll):
+                        dot_acc(acc_ref, *build(u * unroll + j, ct, st, rs,
+                                                xs_ref, ys_ref))
+                    return 0
+
+                jax.lax.fori_loop(
+                    0, (nt_ref[0, 0] + unroll - 1) // unroll, body, 0)
 
         def accumulate_pipelined(ct, st, rs, nt_ref, xs_ref, ys_ref,
                                  acc_ref):
@@ -371,7 +395,7 @@ def _make_hough_kernel(n_hi: int, nbins: int,
             t = pl.program_id(0)
             acc_ref[:] = jnp.zeros((pk * n_hi, pk * lo_bins), acc_dtype)
 
-            def body(c, _):
+            def one_chunk(c):
                 hs, ls = [], []
                 for j in range(pk):
                     hj, lj = build(c, ct_ref[pk * t + j, 0],
@@ -383,9 +407,21 @@ def _make_hough_kernel(n_hi: int, nbins: int,
                     jnp.concatenate(hs, axis=0), jnp.concatenate(ls, axis=0),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=acc_dtype)
-                return 0
 
-            jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
+            if unroll == 1:
+                def body(c, _):
+                    one_chunk(c)
+                    return 0
+
+                jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
+            else:
+                def body(u, _):
+                    for i in range(unroll):
+                        one_chunk(u * unroll + i)
+                    return 0
+
+                jax.lax.fori_loop(
+                    0, (nt_ref[0, 0] + unroll - 1) // unroll, body, 0)
             a = acc_ref[:]
             for j in range(pk):
                 out_ref[j] = a[j * n_hi:(j + 1) * n_hi,
@@ -438,7 +474,7 @@ _THETA_INNER_MAX_KB = 384
                                              "swap_mn", "lo_bins",
                                              "theta_inner", "pipelined",
                                              "theta_wins", "win_hi",
-                                             "theta_pack"))
+                                             "theta_pack", "unroll"))
 def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        counts: jnp.ndarray, numrho: int,
                        theta_bins: int = 180,
@@ -450,7 +486,8 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        theta_inner: str = "auto",
                        pipelined: bool = False,
                        theta_wins=None, win_hi: int = 0,
-                       theta_pack: int = 1) -> jnp.ndarray:
+                       theta_pack: int = 1,
+                       unroll: int = 1) -> jnp.ndarray:
     """(numrho, theta_bins) int32 vote accumulator over a band-compacted
     edge list — the Pallas production path of ops.hough.hough_accumulator
     (identical counts: same f32 round, same one-hot matmul contraction).
@@ -477,9 +514,13 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     (edge, theta) increment inherently costs n_hi*128 MACs because 2341
     reachable rho bins occupy 14%% of the 128x128 outer-product tile.
     """
+    assert unroll >= 1 and not (unroll > 1 and pipelined), \
+        "unroll applies to the serial schedule only"
     kb = int(xs_t.shape[0])
-    if kb % rows:
-        padn = _round_up(kb, rows) - kb
+    # pad to rows*unroll so the unrolled body's over-run chunk reads stay
+    # in-bounds (poisoned slots vote nothing)
+    if kb % (rows * unroll):
+        padn = _round_up(kb, rows * unroll) - kb
         xs_t = jnp.pad(xs_t, ((0, padn), (0, 0)),
                        constant_values=HOUGH_POISON_X)
         ys_t = jnp.pad(ys_t, ((0, padn), (0, 0)),
@@ -517,7 +558,7 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
 
     kernel, kernel_inner, make_kernel_pack = _make_hough_kernel(
         n_hi, rho_bins, mxu_dtype, acc_dtype, rows, swap_mn, lo_bins,
-        n_chunks=kb // rows, pipelined=pipelined)
+        n_chunks=kb // rows, pipelined=pipelined, unroll=unroll)
     acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
 
     def unpack(votes):
