@@ -100,7 +100,13 @@ def main() -> None:
     os.makedirs(args.outdir, exist_ok=True)
     deadline = time.time() + args.max_hours * 3600
     log(args.outdir, "watchdog started")
+    pause_marker = os.path.join(args.outdir, "PAUSE")
     while time.time() < deadline:
+        if os.path.exists(pause_marker):
+            # host-quiesce window (pytest mesh suite / benchmarking on this
+            # one-core box): skip the probe subprocess entirely
+            time.sleep(60)
+            continue
         if probe(args.outdir):
             log(args.outdir, "worker UP — running battery")
             for name, cmd, to in STEPS:
