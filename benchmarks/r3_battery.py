@@ -10,6 +10,8 @@ Sections:
      blackhat/ink-mask kernels (+ hardware parity)
   5. fused docscan program at batch 8 (current production defaults)
   6. batch scaling 8/16/32 for the fused program
+  6b. votescale: the vote kernel ALONE at batch 8/16/32 (attributes any
+     batch-32 regression to the kernel vs the XLA stages)
   7. roofline arithmetic for the vote kernel (printed from measured dims)
 
 All timings: in-jit chained reps (data dependency threaded through each
@@ -311,6 +313,38 @@ def sec_prechain():
               np.array_equal(outs["xla"], outs["pallas"]), flush=True)
 
 
+def sec_votescale():
+    """Vote kernel ALONE at batch 8/16/32 — attributes the fused program's
+    batch-32 regression (round-2 VERDICT weak #7): if the kernel scales
+    ~linearly here, the regression lives in the XLA stages (memory
+    pressure / scheduling), not the Pallas kernel."""
+    from tpuimage.ops.pallas_kernels import hough_votes_pallas
+    edges8 = edge_batch()
+    for bsz in (8, 16, 32):
+        reps = -(-bsz // 8)
+        edges = jnp.concatenate([edges8] * reps, axis=0)[:bsz]
+        (xs_t, ys_t, counts, numrho, rho_base, rho_bins,
+         wins, span) = _vote_setup(edges)
+
+        def perturb_xs(b_, tok):
+            return b_.at[:, 0, :].set((tok % 251).astype(jnp.float32))
+
+        def op(xs):
+            def one(x, y, c):
+                acc = hough_votes_pallas(x, y, c, numrho, rho_base=rho_base,
+                                         rho_bins=rho_bins, rows=128,
+                                         theta_wins=wins, win_hi=span)
+                return acc.astype(jnp.int32).sum()
+            return jax.vmap(one)(xs, ys_t, counts).sum()
+        try:
+            dt = chained(op, xs_t, perturb_xs)
+            print(f"votescale[b{bsz:<2d}] {dt*1e3:7.2f} ms "
+                  f"({dt/bsz*1e3:5.2f} ms/img)", flush=True)
+        except Exception as e:
+            print(f"votescale[b{bsz:<2d}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+
 def sec_roofline():
     edges = edge_batch()
     e0 = np.asarray(edges[0] > 0)
@@ -336,12 +370,13 @@ def sec_roofline():
 SECTIONS = {"compact": sec_compact, "vote": sec_vote, "canny": sec_canny,
             "fused": lambda: sec_fused((8,)),
             "scaling": lambda: sec_fused((8, 16, 32)),
+            "votescale": sec_votescale,
             "prechain": sec_prechain,
             "roofline": sec_roofline}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["compact", "vote", "canny", "prechain", "fused",
-                             "scaling", "roofline"]
+                             "scaling", "votescale", "roofline"]
     for nm in names:
         print(f"=== {nm} ===", flush=True)
         t0 = time.time()
