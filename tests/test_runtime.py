@@ -237,8 +237,9 @@ class TestSpatialDocscan:
     def test_dp_space_batch_bitexact(self, rng):
         """The dp x sp serving form: batch sharded over 'data', every page
         H-sharded over 'space' — each page bit-equals the unsharded
-        pipeline, including a mixed batch where one page takes the
-        rotation branch and the other does not (vmap(cond) -> select)."""
+        pipeline, including a mixed batch where one page needs rotating
+        and the other does not (the batch-level rotation cond fires and
+        the angle-0 page must come back exact through the rotate path)."""
         from tpuimage.runtime.spatial import docscan_post_warp_spatial_batch
         h, w = 256, 192
         yy, xx = np.mgrid[0:h, 0:w]

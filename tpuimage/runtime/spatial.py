@@ -299,10 +299,17 @@ def _hough_votes_sharded(edges_local, y0, full_h: int, w: int):
 
 
 def _make_post_warp_local(config, h: int, w: int, ndev: int,
-                          space_axis: str):
+                          space_axis: str, split: bool = False):
     """Build the per-shard local function for the H-sharded DocScanner
     post-warp (shared by the single-page and the data-parallel batched
-    wrappers below). Validates the static halo geometry."""
+    wrappers below). Validates the static halo geometry.
+
+    split=True returns the three phases ``(pre, rotate_local, post)``
+    instead of the fused ``local`` — the batched wrapper needs them
+    separate so it can guard the rotation with a BATCH-LEVEL cond outside
+    its vmap (mirroring pipelines.docscan.docscan_post_warp_batch; a
+    vmapped per-page cond degenerates to select and every step would pay
+    the all_gather + rotate even for all-angle-0 batches)."""
     from tpuimage.pipelines.docscan import (_raw_otsu_threshold, _rotate_for)
     from tpuimage.ops import color as colorops
     from tpuimage.ops.filters import gaussian_blur_u8
@@ -337,7 +344,8 @@ def _make_post_warp_local(config, h: int, w: int, ndev: int,
         assert hal < hl, (f"{name} halo {hal} >= shard height {hl}: use "
                           f"fewer shards or a taller page")
 
-    def local(rgb_l):
+    def pre(rgb_l):
+        """Stages 04-06b + the deskew ANGLE (everything before rotation)."""
         idx = lax.axis_index(space_axis)
         y0 = (idx * hl).astype(jnp.int32)
 
@@ -407,29 +415,42 @@ def _make_post_warp_local(config, h: int, w: int, ndev: int,
         angle = jnp.where(jnp.abs(med) > c.max_rotate, 0.0, med)
         overflow = lax.pmax(oflow.astype(jnp.int32), space_axis) > 0
 
-        # --- rotation: gather-rotate-reslice (exact; see docstring) ---
-        rot = _rotate_for(c)
+        return {"illum": illum, "stretch": stretched, "inkmask": ink_mask,
+                "adapt": base_bin, "weighted": weighted,
+                "deskew_angle": angle, "deskew_overflow": overflow}
 
-        def rotate_branch(wl):
-            full = lax.all_gather(wl, space_axis, tiled=True)
-            return lax.dynamic_slice(rot(full, angle), (y0, 0), (hl, w))
+    # --- rotation: gather-rotate-reslice (exact; see docstring) ---
+    rot = _rotate_for(config)
 
-        desk = lax.cond(angle == 0.0, lambda wl: wl, rotate_branch, weighted)
+    def rotate_local(wl, angle):
+        idx = lax.axis_index(space_axis)
+        y0 = (idx * hl).astype(jnp.int32)
+        full = lax.all_gather(wl, space_axis, tiled=True)
+        return lax.dynamic_slice(rot(full, angle), (y0, 0), (hl, w))
 
-        # --- morph cleanup (close) ---
+    def post(desk):
+        """Morph cleanup (close) on the (possibly rotated) local block."""
         if c.morph_ksize > 1 and c.morph_iters > 0:
+            idx = lax.axis_index(space_axis)
+            y0 = (idx * hl).astype(jnp.int32)
+            g = jnp.arange(-vm, hl + vm) + y0
+            valid = (g >= 0) & (g < h)
             sec = structuring_element("rect", (c.morph_ksize, c.morph_ksize))
             dh = halo_exchange(desk, vm, space_axis, border="zero")
             dd = dilate(dh, sec, iterations=c.morph_iters)
-            dd = jnp.where(rows_valid(vm)[:, None], dd, jnp.uint8(255))
-            clean = erode(dd, sec, iterations=c.morph_iters)[vm:-vm]
-        else:
-            clean = desk
+            dd = jnp.where(valid[:, None], dd, jnp.uint8(255))
+            return erode(dd, sec, iterations=c.morph_iters)[vm:-vm]
+        return desk
 
-        return {"illum": illum, "stretch": stretched, "inkmask": ink_mask,
-                "adapt": base_bin, "weighted": weighted, "deskew": desk,
-                "clean": clean, "deskew_angle": angle,
-                "deskew_overflow": overflow}
+    if split:
+        return pre, rotate_local, post
+
+    def local(rgb_l):
+        s = pre(rgb_l)
+        angle = s["deskew_angle"]
+        desk = lax.cond(angle == 0.0, lambda wl: wl,
+                        lambda wl: rotate_local(wl, angle), s["weighted"])
+        return {**s, "deskew": desk, "clean": post(desk)}
 
     return local
 
@@ -500,11 +521,13 @@ def docscan_post_warp_spatial_batch(batch_rgb: jnp.ndarray, config,
     collectives (pmin/pmax, psum'd histograms and votes, hysteresis halo
     exchanges) batch across pages in ONE collective each per step.
 
-    Note the vmapped rotation cond becomes a select: every page pays the
-    all_gather rotate when ANY page needs it (vmap(lax.cond) runs both
-    branches). Batches that all land at angle == 0 — the golden config's
-    case — still short-circuit, because the branch output is masked per
-    page, not per batch; the cost, not the result, is batched.
+    The rotation is guarded by a BATCH-LEVEL ``lax.cond`` lifted outside
+    the vmap (a vmapped per-page cond would degenerate to select and run
+    the all_gather + rotate for every batch): all-angle-0 batches — the
+    golden config's case — skip the whole rotation block at runtime,
+    exactly like the unsharded ``docscan_post_warp_batch``. Mixed batches
+    rotate every page, with angle-0 pages coming back exact (the tiled
+    rotation at angle 0 is the identity).
 
     Requires batch %% data axis == 0 and h %% space axis == 0.
     """
@@ -512,14 +535,29 @@ def docscan_post_warp_spatial_batch(batch_rgb: jnp.ndarray, config,
                int(batch_rgb.shape[2]))
     assert b % mesh.shape[data_axis] == 0, \
         f"batch {b} must divide the {data_axis} axis"
-    local = _make_post_warp_local(config, h, w, mesh.shape[space_axis],
-                                  space_axis)
+    pre, rotate_local, post = _make_post_warp_local(
+        config, h, w, mesh.shape[space_axis], space_axis, split=True)
+
+    def body(batch_l):
+        s = jax.vmap(pre)(batch_l)
+        angles = s["deskew_angle"]
+        # batch-level rotation skip (mirrors docscan_post_warp_batch): the
+        # predicate is uniform across the space axis (angles come from
+        # psum'd vote accumulators), so all space shards take the same
+        # branch and the rotate branch's all_gather stays collective-safe;
+        # angle==0 pages inside a rotating batch still come back exact
+        # (the tiled rotation at angle 0 is the identity).
+        desk = lax.cond(jnp.any(angles != 0.0),
+                        lambda wb: jax.vmap(rotate_local)(wb, angles),
+                        lambda wb: wb, s["weighted"])
+        return {**s, "deskew": desk, "clean": jax.vmap(post)(desk)}
+
     # check_vma=False: jax's static varying-manual-axes analysis rejects
     # constant-minus-traced subtraction inside geometry.rotate_traced_tiled
     # under the vmapped 2-axis mesh ("Please open an issue..."); the
     # runtime semantics are unaffected and the test asserts bit-equality
     # against the unsharded pipeline.
-    mapped = jax.shard_map(jax.vmap(local), mesh=mesh,
+    mapped = jax.shard_map(body, mesh=mesh,
                            in_specs=(P(data_axis, space_axis, None, None),),
                            out_specs=_post_warp_out_specs(space_axis,
                                                           data_axis),
