@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 what = set(sys.argv[1:]) or {"bilateral", "hough", "lab", "clahe", "rank",
-                             "pack2", "blackhat", "inkmask", "fusedpre"}
+                             "pack2", "blackhat", "inkmask", "fusedpre",
+                             "morphseq"}
 
 
 def timeit(fn, n=5):
@@ -186,6 +187,24 @@ def main():
         tp = timeit(lambda: np.asarray(f_p(page)["weighted"])[0, 0])
         print(f"pre-deskew ops {tx*1e3:.2f} ms  fused {tp*1e3:.2f} ms "
               f"(single image, RTT-bound — see r3_battery for in-jit reps)")
+
+    if "morphseq" in what:
+        from tpuimage.pipelines import morphseq
+        from PIL import Image
+        with Image.open("/root/reference/public/sample.jpg") as im:
+            rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        x = jnp.asarray(rgb)
+        f_x = jax.jit(lambda a: morphseq.morphseq_stages(a, impl="xla"))
+        f_p = jax.jit(lambda a: morphseq.morphseq_stages(a, impl="pallas"))
+        a = {k: np.asarray(v) for k, v in f_x(x).items()}
+        print("morphseq xla ok")
+        b = {k: np.asarray(v) for k, v in f_p(x).items()}
+        print("morphseq pallas ok, equal:",
+              all(np.array_equal(a[k], b[k]) for k in a))
+        tx = timeit(lambda: np.asarray(f_x(x)["step4_closed"])[0, 0])
+        tp = timeit(lambda: np.asarray(f_p(x)["step4_closed"])[0, 0])
+        print(f"morphseq ops {tx*1e3:.2f} ms  fused {tp*1e3:.2f} ms "
+              f"(single image, RTT-bound — see r3_battery morphseq)")
 
     if "clahe" in what:
         from tpuimage.ops.histogram import clahe

@@ -48,7 +48,8 @@ print(f"PROBE_OK {v} {time.time()-t0:.1f}s {d}", flush=True)
 STEPS = [
     ("battery", [sys.executable, "benchmarks/r3_battery.py"], 5400),
     ("hwcheck", [sys.executable, "benchmarks/hw_check_kernels.py",
-                 "rank", "pack2", "blackhat", "inkmask", "fusedpre"], 3600),
+                 "rank", "pack2", "blackhat", "inkmask", "fusedpre",
+                 "morphseq"], 3600),
     ("bench", [sys.executable, "bench.py"], 2400),
     ("e2e8", [sys.executable, "benchmarks/e2e_docscan.py", "8"], 2400),
     ("e2e32", [sys.executable, "benchmarks/e2e_docscan.py", "32"], 2400),

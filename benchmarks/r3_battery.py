@@ -313,6 +313,35 @@ def sec_prechain():
               np.array_equal(outs["xla"], outs["pallas"]), flush=True)
 
 
+def sec_morphseq():
+    """morph_seq pipeline, ops vs fused Pallas chain (gray+erode3 band
+    kernel, hist256 Otsu, binary+close3 band kernel), batch 8 on the
+    real sample.jpg — tokens consume ALL four stage outputs (pitfall 3)."""
+    from tpuimage.pipelines import morphseq
+    from PIL import Image
+    with Image.open("/root/reference/public/sample.jpg") as im:
+        rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    batch = jnp.asarray(np.broadcast_to(rgb, (BATCH,) + rgb.shape).copy())
+    mp = BATCH * rgb.shape[0] * rgb.shape[1] / 1e6
+
+    def perturb(b_, tok):
+        return b_.at[:, 0, 0, 0].set((tok % 251).astype(jnp.uint8))
+
+    for impl in ("xla", "pallas"):
+        def op(b, impl=impl):
+            st = morphseq.morphseq_batch(b, impl=impl)
+            return sum(st[k].astype(jnp.int32).sum()
+                       for k in ("step1_gray", "step2_eroded",
+                                 "step3_otsu", "step4_closed"))
+        try:
+            dt = chained(op, batch, perturb)
+            print(f"morphseq[{impl:6s}] {dt*1e3:7.2f} ms  "
+                  f"{mp/dt:7.1f} MP/s", flush=True)
+        except Exception as e:
+            print(f"morphseq[{impl:6s}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+
 def sec_votescale():
     """Vote kernel ALONE at batch 8/16/32 — attributes the fused program's
     batch-32 regression (round-2 VERDICT weak #7): if the kernel scales
@@ -372,11 +401,13 @@ SECTIONS = {"compact": sec_compact, "vote": sec_vote, "canny": sec_canny,
             "scaling": lambda: sec_fused((8, 16, 32)),
             "votescale": sec_votescale,
             "prechain": sec_prechain,
+            "morphseq": sec_morphseq,
             "roofline": sec_roofline}
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["compact", "vote", "canny", "prechain", "fused",
-                             "scaling", "votescale", "roofline"]
+    names = sys.argv[1:] or ["compact", "vote", "canny", "prechain",
+                             "morphseq", "fused", "scaling", "votescale",
+                             "roofline"]
     for nm in names:
         print(f"=== {nm} ===", flush=True)
         t0 = time.time()

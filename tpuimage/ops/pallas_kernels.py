@@ -1543,6 +1543,166 @@ def hist256_batch_pallas(vals: jnp.ndarray, interpret: bool = False,
     return out.reshape(b, 512)[:, :256].astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# morph_seq fused chain — gray+erode3 and binary+close3 band kernels
+# ---------------------------------------------------------------------------
+
+
+def _make_gray_erode3_kernel(th: int, slab: int, wp: int, h: int, w: int):
+    """One grid step computes morph_seq steps 1-2 for output rows
+    [t*th, (t+1)*th): OpenCV fixed-point RGB->gray (color.py rgb_to_gray's
+    exact descale) and the 3x3 rect erosion (constant-255 borders, like
+    ops.morphology) in ONE VMEM pass. The RGB input arrives byte-packed
+    into one int32 plane (r | g<<8 | b<<16) so a single full plane stays
+    VMEM-resident (three separate planes would triple the residency
+    budget); the unpack is three VPU mask/shift ops per value. The XLA
+    form materializes gray to HBM, then runs 4 shifted min passes over it
+    — here the band's gray lives in vregs and the erode reads it there."""
+
+    def kernel(px_ref, gray_ref, erod_ref):
+        t = pl.program_id(0)
+        v = px_ref[pl.ds(t * th, slab), :]
+        r = jax.lax.bitwise_and(v, 255)
+        g = jax.lax.bitwise_and(jax.lax.shift_right_logical(v, 8), 255)
+        b = jax.lax.shift_right_logical(v, 16)
+        gray = jax.lax.shift_right_arithmetic(
+            r * 9798 + g * 19235 + b * 3735 + 16384, 15)
+        grow = (jax.lax.broadcasted_iota(jnp.int32, (slab, wp), 0)
+                + t * th - 2)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (slab, wp), 1) - 2
+        valid = ((grow >= 0) & (grow < h)) & ((gcol >= 0) & (gcol < w))
+
+        e = _sliding_extreme(jnp.where(valid, gray, 255), 3, slab, 0, False)
+        e = pltpu.roll(e, 1, axis=0)
+        e = _sliding_extreme(e, 3, wp, 1, False)
+        e = pltpu.roll(e, 1, axis=1)
+
+        # band rows sit at slab-local [2, 2+th): rotate to 0, slice aligned
+        gray_ref[:] = pltpu.roll(gray, slab - 2, axis=0)[:th, :]
+        erod_ref[:] = pltpu.roll(e, slab - 2, axis=0)[:th, :]
+
+    return kernel
+
+
+def _make_binary_close3_kernel(th: int, slab: int, wp: int, h: int, w: int):
+    """One grid step computes morph_seq steps 3-4 for output rows
+    [t*th, (t+1)*th): the Otsu binary (strict ``>`` compare against the
+    SMEM threshold, cv2.THRESH_BINARY) and the 3x3 rect closing
+    (dilate pad-0 then erode pad-255, ops.morphology's exact constant
+    borders via iota validity masks — the blackhat kernel's scheme)."""
+
+    def kernel(t_ref, er_ref, bin_ref, clo_ref):
+        t = pl.program_id(0)
+        x = er_ref[pl.ds(t * th, slab), :]
+        grow = (jax.lax.broadcasted_iota(jnp.int32, (slab, wp), 0)
+                + t * th - 2)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (slab, wp), 1) - 2
+        valid = ((grow >= 0) & (grow < h)) & ((gcol >= 0) & (gcol < w))
+
+        binv = jnp.where(x > t_ref[0, 0], 255, 0)
+
+        d = _sliding_extreme(jnp.where(valid, binv, 0), 3, slab, 0, True)
+        d = pltpu.roll(d, 1, axis=0)
+        d = _sliding_extreme(d, 3, wp, 1, True)
+        d = pltpu.roll(d, 1, axis=1)
+
+        e = _sliding_extreme(jnp.where(valid, d, 255), 3, slab, 0, False)
+        e = pltpu.roll(e, 1, axis=0)
+        e = _sliding_extreme(e, 3, wp, 1, False)
+        e = pltpu.roll(e, 1, axis=1)
+
+        bin_ref[:] = pltpu.roll(binv, slab - 2, axis=0)[:th, :]
+        clo_ref[:] = pltpu.roll(e, slab - 2, axis=0)[:th, :]
+
+    return kernel
+
+
+def _morphseq_geom(h: int, w: int):
+    th = min(_BAND_ROWS, _round_up(h, 8))
+    hp = _round_up(h, th)
+    slab = _round_up(th + 4, 8)     # 2-row reach per side (close = 2 ops)
+    wp = _round_up(w + 4, 128)      # 2-col margin per side
+    return th, hp, slab, wp
+
+
+def _morphseq_pad(plane_i32, h: int, w: int, hp: int, slab: int, th: int,
+                  wp: int):
+    """Pad layout shared by both kernels: image at padded row 2 / col 2 so
+    slab reads start 8-aligned at t*th (the blackhat kernel's scheme)."""
+    return jnp.pad(plane_i32,
+                   ((2, (hp - h) + (slab - th) - 2 + 8), (2, wp - w - 2)))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gray_erode3_pallas(rgb: jnp.ndarray, interpret: bool = False):
+    """(gray, eroded) uint8 planes from uint8 HWC RGB — morph_seq steps
+    1-2 (pyc to_grayscale + grayscale_erosion, SURVEY §3.5) as one fused
+    band kernel. Bit-identical to rgb_to_gray + erode(rect3):
+    tests/test_morphseq.py cross-checks, hardware parity via
+    benchmarks/hw_check_kernels.py morphseq."""
+    h, w = int(rgb.shape[0]), int(rgb.shape[1])
+    th, hp, slab, wp = _morphseq_geom(h, w)
+    packed = (rgb[..., 0].astype(jnp.int32)
+              | (rgb[..., 1].astype(jnp.int32) << 8)
+              | (rgb[..., 2].astype(jnp.int32) << 16))
+    p = _morphseq_pad(packed, h, w, hp, slab, th, wp)
+    band = pl.BlockSpec((th, wp), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    gray, erod = pl.pallas_call(
+        _make_gray_erode3_kernel(th, slab, wp, h, w),
+        grid=(hp // th,),
+        out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+                   jax.ShapeDtypeStruct((hp, wp), jnp.int32)),
+        in_specs=[pl.BlockSpec((hp + slab - th + 8, wp), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(band, band),
+        interpret=interpret,
+    )(p)
+    sl = (slice(None, h), slice(2, 2 + w))
+    return gray[sl].astype(jnp.uint8), erod[sl].astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def binary_close3_pallas(eroded: jnp.ndarray, t,
+                         interpret: bool = False):
+    """(binary, closed) uint8 planes from the eroded plane and its Otsu
+    threshold — morph_seq steps 3-4 (otsu_binarize + binary_closing) as
+    one fused band kernel. Bit-identical to threshold_binary +
+    morph_close(rect3). ``t`` is the integer-valued Otsu threshold (the
+    compare is strict ``>``, cv2.THRESH_BINARY semantics)."""
+    h, w = int(eroded.shape[0]), int(eroded.shape[1])
+    th, hp, slab, wp = _morphseq_geom(h, w)
+    p = _morphseq_pad(eroded.astype(jnp.int32), h, w, hp, slab, th, wp)
+    ts = jnp.asarray(t, jnp.float32).astype(jnp.int32).reshape(1, 1)
+    band = pl.BlockSpec((th, wp), lambda t_: (t_, 0),
+                        memory_space=pltpu.VMEM)
+    binv, clo = pl.pallas_call(
+        _make_binary_close3_kernel(th, slab, wp, h, w),
+        grid=(hp // th,),
+        out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+                   jax.ShapeDtypeStruct((hp, wp), jnp.int32)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((hp + slab - th + 8, wp), lambda t_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(band, band),
+        interpret=interpret,
+    )(ts, p)
+    sl = (slice(None, h), slice(2, 2 + w))
+    return binv[sl].astype(jnp.uint8), clo[sl].astype(jnp.uint8)
+
+
+def morphseq_pallas_applicable(rgb) -> bool:
+    """Hardware gate for the fused morph_seq chain: uint8 HWC RGB whose
+    padded int32 plane fits the VMEM residency budget (both kernels keep
+    one full plane resident, same budget as the blackhat kernel)."""
+    if getattr(rgb, "ndim", 0) != 3 or rgb.shape[-1] != 3:
+        return False
+    h, w = int(rgb.shape[0]), int(rgb.shape[1])
+    th, hp, slab, wp = _morphseq_geom(h, w)
+    return (hp + slab - th + 8) * wp * 4 <= _VMEM_PADDED_BYTES
+
+
 def bilateral_pallas_applicable(img, d: int = 9,
                                 sigma_space: float = 75.0) -> bool:
     """True when the row-band kernel handles this input on hardware:

@@ -7,12 +7,19 @@ binary closing. Returns the same stage dict keys and saves the same file
 names (``morphseq_01_gray.png`` ... ``morphseq_04_closed.png`` +
 ``morphseq_closed.png``).
 
-TPU-native: the jitted core (`morphseq_stages`) is pure and vmappable —
-erosion/closing are separable reduce_window min/max, Otsu is a histogram
-argmax. The batched form `morphseq_batch` maps it over NHW C uint8 stacks.
+TPU-native: the jitted core (`morphseq_stages`) is pure and vmappable.
+Two implementations, identical stage outputs (tests/test_morphseq.py):
+
+- ops ("xla"): erosion/closing as separable shifted min/max, Otsu as a
+  histogram argmax — the CPU path and the fallback.
+- fused Pallas ("pallas", TPU default when applicable): gray+erode in one
+  band kernel, the production hist256 kernel + Otsu solve, binary+close
+  in a second band kernel — 3 HBM round trips instead of one per stage
+  (pallas_kernels.gray_erode3_pallas / binary_close3_pallas).
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict
 
@@ -23,6 +30,7 @@ import numpy as np
 from tpuimage.ops.color import rgb_to_gray
 from tpuimage.ops.morphology import structuring_element, erode, morph_close, MORPH_RECT
 from tpuimage.ops.threshold import threshold_otsu
+from tpuimage.ops.histogram import hist256, otsu_from_hist
 from tpuimage.io.imageio import load_image_rgb, save_image, ensure_dir
 
 KSIZE = 3
@@ -31,13 +39,32 @@ ITERATIONS = 1
 _SE3 = structuring_element(MORPH_RECT, KSIZE)
 
 
-@jax.jit
-def morphseq_stages(rgb: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """Jitted core: RGB uint8 HWC -> stage dict (pyc process_morph_seq)."""
-    gray = rgb_to_gray(rgb)
-    eroded = erode(gray, _SE3, iterations=ITERATIONS)
-    _, otsu = threshold_otsu(eroded)
-    closed = morph_close(otsu, _SE3, iterations=ITERATIONS)
+@functools.partial(jax.jit, static_argnames=("impl",))
+def morphseq_stages(rgb: jnp.ndarray, impl: str = "auto"
+                    ) -> Dict[str, jnp.ndarray]:
+    """Jitted core: RGB uint8 HWC -> stage dict (pyc process_morph_seq).
+
+    impl: "auto" = fused Pallas chain on TPU when the VMEM gate passes,
+    plain ops elsewhere; "pallas"/"xla" force a path (the kernels run
+    interpreted off TPU; tests assert bit-identical stages)."""
+    from tpuimage.ops.pallas_kernels import morphseq_pallas_applicable
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if impl == "auto":
+        impl = ("pallas" if on_tpu and morphseq_pallas_applicable(rgb)
+                else "xla")
+    if impl == "pallas":
+        from tpuimage.ops.pallas_kernels import (gray_erode3_pallas,
+                                                 binary_close3_pallas)
+        if not morphseq_pallas_applicable(rgb):
+            raise ValueError("fused morphseq chain not applicable here")
+        gray, eroded = gray_erode3_pallas(rgb, interpret=not on_tpu)
+        t = otsu_from_hist(hist256(eroded))
+        otsu, closed = binary_close3_pallas(eroded, t, interpret=not on_tpu)
+    else:
+        gray = rgb_to_gray(rgb)
+        eroded = erode(gray, _SE3, iterations=ITERATIONS)
+        _, otsu = threshold_otsu(eroded)
+        closed = morph_close(otsu, _SE3, iterations=ITERATIONS)
     return {
         "original": rgb,
         "step1_gray": gray,
@@ -47,10 +74,11 @@ def morphseq_stages(rgb: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     }
 
 
-@jax.jit
-def morphseq_batch(rgb_batch: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+@functools.partial(jax.jit, static_argnames=("impl",))
+def morphseq_batch(rgb_batch: jnp.ndarray, impl: str = "auto"
+                   ) -> Dict[str, jnp.ndarray]:
     """vmapped batch form over NHWC uint8."""
-    return jax.vmap(morphseq_stages)(rgb_batch)
+    return jax.vmap(lambda im: morphseq_stages(im, impl=impl))(rgb_batch)
 
 
 def process_morph_seq(input_path: str, out_dir: str = "outputs",
