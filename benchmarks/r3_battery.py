@@ -8,6 +8,8 @@ Sections:
   3. canny hysteresis: dilate vs linescan on the classify cue batch
   4. prechain: pre-deskew block, plain ops vs fused Pallas
      blackhat/ink-mask kernels (+ hardware parity)
+  4b. morphseq: morph_seq pipeline, plain ops vs the fused Pallas chain
+     (gray+erode3 / binary+close3 band kernels), batch 8 on sample.jpg
   5. fused docscan program at batch 8 (current production defaults)
   6. batch scaling 8/16/32 for the fused program
   6b. votescale: the vote kernel ALONE at batch 8/16/32 (attributes any

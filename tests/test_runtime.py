@@ -247,13 +247,19 @@ class TestSpatialDocscan:
         tilted = np.where(stripes, 40, 230).astype(np.uint8)[..., None]
         tilted = np.repeat(tilted, 3, axis=-1)
         flat = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
-        batch = jnp.asarray(np.stack([tilted, flat]))
+        # batch 4 over data=2: EACH data shard's local batch holds one
+        # tilted + one flat page, so the batch-level cond fires with a
+        # mixed local batch and the angle-0 page actually goes through
+        # vmap(rotate_local) — the identity-at-angle-0 property the
+        # batch-level skip relies on is exercised, not assumed
+        batch = jnp.asarray(np.stack([tilted, flat, tilted, flat]))
         cfg = docscan.GUI_DOCUMENT_CONFIG
         mesh2 = rt.make_mesh(8, axis_names=("data", "space"), shape=(2, 4))
-        refs = [docscan.docscan_post_warp(batch[i], cfg) for i in range(2)]
+        refs = [docscan.docscan_post_warp(batch[i], cfg) for i in range(4)]
         assert float(refs[0]["deskew_angle"]) != 0.0  # rotation branch live
+        assert float(refs[1]["deskew_angle"]) == 0.0  # angle-0 page beside it
         out = docscan_post_warp_spatial_batch(batch, cfg, mesh2)
-        for i in range(2):
+        for i in range(4):
             for k in refs[i]:
                 np.testing.assert_array_equal(
                     np.asarray(refs[i][k]), np.asarray(out[k][i]),

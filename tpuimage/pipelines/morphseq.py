@@ -11,11 +11,11 @@ TPU-native: the jitted core (`morphseq_stages`) is pure and vmappable.
 Two implementations, identical stage outputs (tests/test_morphseq.py):
 
 - ops ("xla"): erosion/closing as separable shifted min/max, Otsu as a
-  histogram argmax — the CPU path and the fallback.
-- fused Pallas ("pallas", TPU default when applicable): gray+erode in one
-  band kernel, the production hist256 kernel + Otsu solve, binary+close
-  in a second band kernel — 3 HBM round trips instead of one per stage
-  (pallas_kernels.gray_erode3_pallas / binary_close3_pallas).
+  histogram argmax — the current default everywhere.
+- fused Pallas ("pallas"): gray+erode in one band kernel, the production
+  hist256 kernel + Otsu solve, binary+close in a second band kernel
+  (pallas_kernels.gray_erode3_pallas / binary_close3_pallas). Becomes
+  the TPU "auto" once hardware parity + timing land (CLAUDE.md runbook).
 """
 from __future__ import annotations
 
@@ -44,14 +44,16 @@ def morphseq_stages(rgb: jnp.ndarray, impl: str = "auto"
                     ) -> Dict[str, jnp.ndarray]:
     """Jitted core: RGB uint8 HWC -> stage dict (pyc process_morph_seq).
 
-    impl: "auto" = fused Pallas chain on TPU when the VMEM gate passes,
-    plain ops elsewhere; "pallas"/"xla" force a path (the kernels run
-    interpreted off TPU; tests assert bit-identical stages)."""
+    impl: "pallas"/"xla" force a path (the kernels run interpreted off
+    TPU; tests assert bit-identical stages). "auto" currently equals
+    "xla" pending hardware parity + timing of the fused chain — the same
+    gating as the other interpret-verified kernels (CLAUDE.md runbook:
+    flip to "pallas" on TPU once `r3_battery.py morphseq` and
+    `hw_check_kernels.py morphseq` land on a live chip)."""
     from tpuimage.ops.pallas_kernels import morphseq_pallas_applicable
     on_tpu = jax.default_backend() not in ("cpu",)
     if impl == "auto":
-        impl = ("pallas" if on_tpu and morphseq_pallas_applicable(rgb)
-                else "xla")
+        impl = "xla"
     if impl == "pallas":
         from tpuimage.ops.pallas_kernels import (gray_erode3_pallas,
                                                  binary_close3_pallas)
