@@ -89,6 +89,20 @@ class TestLab:
         d = maxdiff(cv2.cvtColor(lab, cv2.COLOR_Lab2RGB), color.lab_to_rgb(lab))
         assert d <= 2, d
 
+    def test_inverse_lut_impl(self, rng):
+        # the deterministic integer path (used by night_rgb_spatial for
+        # sharded==unsharded bit-exactness): same cv2 contract as the f32
+        # path, and within 1 LSB of it on a vanishing fraction of pixels
+        src = rand_img(rng)
+        lab = cv2.cvtColor(src, cv2.COLOR_RGB2Lab)
+        lut = color.lab_to_rgb(lab, impl="lut")
+        d = maxdiff(cv2.cvtColor(lab, cv2.COLOR_Lab2RGB), lut)
+        assert d <= 2, d
+        full = rng.integers(0, 256, size=(512, 512, 3), dtype=np.uint8)
+        dx = np.abs(np.asarray(color.lab_to_rgb(full, impl="lut")).astype(int)
+                    - np.asarray(color.lab_to_rgb(full)).astype(int))
+        assert dx.max() <= 1 and (dx > 0).mean() < 1e-4
+
 
 class TestSplitMerge:
     def test_roundtrip(self, rng):

@@ -118,9 +118,12 @@ class TestSpatialGlobalStats:
         d = np.abs(np.asarray(out["enhanced"]).astype(int) - ref.astype(int))
         assert d.max() <= 1 and np.mean(d > 0) < 0.005
 
-    def test_night_rgb_sharded(self, space_mesh):
-        """night_rgb H-sharded: integer median bit-exact; the f32 LAB+CLAHE
-        blend within the repo's float-blend contract (±1 LSB, <0.5%)."""
+    def test_night_rgb_sharded_bitexact(self, space_mesh):
+        """night_rgb H-sharded: BIT-EXACT vs the unsharded composition at
+        the same impls (matrix CLAHE apply + deterministic LUT Lab->RGB).
+        The round-3 ±1 LSB gap was XLA FMA-contracting lab_to_rgb's f32
+        tail differently under shard_map; impl="lut" removes the float
+        tail, so the sharding introduces zero error."""
         from tpuimage.runtime.spatial import night_rgb_spatial
         from tpuimage.ops.median import median_blur
         from tpuimage.ops.histogram import clahe
@@ -136,9 +139,16 @@ class TestSpatialGlobalStats:
         l_enh = clahe(lab[..., 0], clip_limit=2.0, tiles_x=8, tiles_y=8,
                       impl="mxu")
         ref = colorops.lab_to_rgb(
+            jnp.concatenate([l_enh[..., None], lab[..., 1:]], axis=-1),
+            impl="lut")
+        np.testing.assert_array_equal(np.asarray(out["enhanced"]),
+                                      np.asarray(ref))
+        # and the production (float) composition stays within the
+        # documented float-blend contract of the paths used here
+        ref_f = colorops.lab_to_rgb(
             jnp.concatenate([l_enh[..., None], lab[..., 1:]], axis=-1))
         d = np.abs(np.asarray(out["enhanced"]).astype(int)
-                   - np.asarray(ref).astype(int))
+                   - np.asarray(ref_f).astype(int))
         assert d.max() <= 1 and np.mean(d > 0) < 0.005
 
     def test_global_reductions_match_unsharded(self, rng, space_mesh):

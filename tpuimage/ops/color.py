@@ -240,9 +240,99 @@ def bgr_to_lab(img: jnp.ndarray) -> jnp.ndarray:
 
 _XYZ2SRGB_J = jnp.asarray(_XYZ2SRGB_D65, dtype=jnp.float32)
 
+# --- deterministic fixed-point Lab->RGB (impl="lut") --------------------
+# The float inverse path below is at XLA's mercy for FMA contraction: the
+# SAME u8 Lab input produces results differing by 1 LSB on ~1e-6 of
+# pixels between compilation contexts (plain jit vs shard_map — measured
+# on nightview; CLAUDE.md's uncontrollable-contraction caveat). For the
+# spatially-sharded pipelines that promise sharded == unsharded
+# bit-exactness, this path evaluates the identical math as pure integer
+# ops: per-channel contributions from host-built f64 tables (Lab is u8,
+# so X depends only on (L,a), Y on L, Z on (L,b)), an i32 MAC at 2^26
+# fixed point, and the monotone gamma+cvRound folded into 255 integer
+# thresholds (searchsorted). Bit-identical across backends and program
+# contexts by construction; within 1 ulp of the real-valued function, so
+# it agrees with the float path everywhere except pixels whose true
+# value sits within ~2e-8 of a cvRound boundary (measured: ≤1 LSB on
+# <2e-5 of random Lab inputs) — comfortably inside the ±2 LSB cv2
+# contract (tests/test_color.py::test_inverse_close).
+_LAB_INV_SHIFT = 26
 
-def lab_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
-    """Float inverse path (Lab2RGBfloat) with 8-bit rescale and sRGB gamma."""
+
+def _lab_inv_tables():
+    S = float(1 << _LAB_INV_SHIFT)
+    M = _XYZ2SRGB_D65
+    L = np.arange(256, dtype=np.float64) * (100.0 / 255.0)
+    fy = (L + 16.0) / 116.0
+    y = np.where(L > 8.0, fy ** 3, L / 903.3)
+    ab = np.arange(256, dtype=np.float64) - 128.0
+    fx = fy[:, None] + ab[None, :] / 500.0      # (L, a)
+    fz = fy[:, None] - ab[None, :] / 200.0      # (L, b)
+
+    def finv(t):
+        return np.where(t ** 3 > 0.008856, t ** 3, (t - 16.0 / 116.0) / 7.787)
+
+    x = finv(fx) * _D65[0]
+    z = finv(fz) * _D65[2]
+    XT = np.rint(M[:, 0][:, None, None] * x[None] * S).astype(np.int32)
+    YT = np.rint(M[:, 1][:, None] * y[None] * S).astype(np.int32)
+    ZT = np.rint(M[:, 2][:, None, None] * z[None] * S).astype(np.int32)
+
+    def gamma255(m):
+        t = m / S
+        s = np.where(t <= 0.0031308, t * 12.92,
+                     1.055 * t ** (1.0 / 2.4) - 0.055)
+        return np.rint(s * 255.0)               # cvRound (half-to-even)
+
+    # thr[k-1] = smallest integer m in [0, 2^26] with gamma255(m) >= k
+    thr = np.empty(255, dtype=np.int32)
+    for k in range(1, 256):
+        s = (k - 0.5) / 255.0
+        t = s / 12.92 if s <= 0.0031308 * 12.92 else ((s + 0.055) / 1.055) ** 2.4
+        m = int(np.ceil(t * S))
+        while m > 0 and gamma255(m - 1) >= k:
+            m -= 1
+        while gamma255(m) < k:
+            m += 1
+        thr[k - 1] = m
+    return XT, YT, ZT, thr
+
+
+_LAB_INV_CACHE = None
+
+
+def _lab_to_rgb_lut(img: jnp.ndarray) -> jnp.ndarray:
+    global _LAB_INV_CACHE
+    if _LAB_INV_CACHE is None:
+        _LAB_INV_CACHE = _lab_inv_tables()
+    XT, YT, ZT, thr = _LAB_INV_CACHE
+    XTj = jnp.asarray(XT.reshape(3, -1))
+    YTj = jnp.asarray(YT)
+    ZTj = jnp.asarray(ZT.reshape(3, -1))
+    thrj = jnp.asarray(thr)
+    Li = i32(img[..., 0])
+    la = Li * 256 + i32(img[..., 1])
+    lb = Li * 256 + i32(img[..., 2])
+    hi = jnp.int32(1 << _LAB_INV_SHIFT)
+    outs = []
+    for c in range(3):
+        acc = XTj[c][la] + YTj[c][Li] + ZTj[c][lb]
+        acc = jnp.clip(acc, 0, hi)
+        outs.append(jnp.searchsorted(thrj, acc, side="right")
+                    .astype(jnp.uint8))
+    return jnp.stack(outs, axis=-1)
+
+
+def lab_to_rgb(img: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
+    """Float inverse path (Lab2RGBfloat) with 8-bit rescale and sRGB gamma.
+
+    impl: "auto"/"xla" = the f32 path below (production default — matches
+    cv2's Lab2RGBfloat within the ±2 LSB contract); "lut" = the
+    deterministic integer fixed-point path (bit-identical across
+    backends and compilation contexts; see _lab_inv_tables) used by the
+    spatially-sharded pipelines whose tests assert array_equal."""
+    if impl == "lut":
+        return _lab_to_rgb_lut(img)
     L = f32(img[..., 0]) * (100.0 / 255.0)
     a = f32(img[..., 1]) - 128.0
     b = f32(img[..., 2]) - 128.0

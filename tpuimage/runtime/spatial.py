@@ -147,13 +147,19 @@ def night_rgb_spatial(rgb: jnp.ndarray, mesh: Mesh,
     """pipelines.night.night_rgb H-sharded over ``space_axis``: median3
     with a 1-row replicate halo, RGB->LAB (pointwise, no communication),
     CLAHE on the L plane with the same sharded tile-histogram + LUT
-    all_gather scheme as night_gray_spatial, LAB->RGB pointwise.
-    Same divisibility requirements. The integer stages (median) are
-    bit-identical; the f32 LAB+CLAHE blend lands within the repo's
-    float-blend contract (±1 LSB on <0.5%% of pixels — measured 1e-6 on
-    nightview: XLA fuses/contracts the f32 chain differently inside
-    shard_map than in the unsharded program, the same uncontrollable
-    FMA-contraction caveat as the CPU/TPU clahe split; CLAUDE.md)."""
+    all_gather scheme as night_gray_spatial, LAB->RGB via the
+    DETERMINISTIC integer path (ops.color.lab_to_rgb(impl="lut")).
+    Same divisibility requirements. BIT-IDENTICAL to the unsharded
+    composition at the same impls (matrix CLAHE apply + LUT Lab->RGB;
+    tests/test_runtime.py asserts array_equal) — the round-3 ±1 LSB gap
+    was isolated to XLA FMA-contracting lab_to_rgb's f32 tail
+    differently inside shard_map than in a plain jit (measured 1.2e-6
+    of nightview pixels); the integer LUT path removes the float tail
+    entirely, so the sharding itself introduces ZERO error. The caveat
+    mirrors night_gray_spatial's: the unsharded night_rgb production
+    entry dispatches clahe/lab_to_rgb to backend-tuned impls (gather on
+    CPU, Pallas/f32 on TPU), each within the documented ±1 LSB
+    float-blend contract of the paths used here."""
     from tpuimage.ops import color as colorops
     from tpuimage.ops.histogram import (_clahe_tile_luts, clahe_blend_matrix,
                                         clahe_apply_matrix)
@@ -188,7 +194,7 @@ def night_rgb_spatial(rgb: jnp.ndarray, mesh: Mesh,
                                   (h_local, tiles_y))
         l_enh = clahe_apply_matrix(lplane, luts, R_loc, C)
         lab_enh = jnp.concatenate([l_enh[..., None], lab[..., 1:]], axis=-1)
-        enh = colorops.lab_to_rgb(lab_enh)
+        enh = colorops.lab_to_rgb(lab_enh, impl="lut")
         return {"original": x, "filtered": filt, "enhanced": enh}
 
     spec = P(space_axis, None, None)
