@@ -300,6 +300,45 @@ class TestScanBatch:
                                           np.asarray(single["binary"]))
 
 
+    def test_fallback_common_shape_bounds_groups(self, rng):
+        """fallback_common_shape=True: use-whole pages of hostile mixed
+        aspects collapse into the config's page-shape groups (at most 2
+        compiles per batch), each flagged with fallback_resized_to, and
+        each equal to process_document run on the same pre-resized input
+        (the resize is the ONLY difference)."""
+        from tpuimage.ops import geometry
+        import jax.numpy as jnp
+        cfg = docscan.DocScanConfig(scale_long=200, mask_blur_ksize=15,
+                                    block_size=15)
+        # three distinct fallback aspects: 2 portrait, 1 landscape
+        fb = [rng.integers(180, 220, size=s + (3,)).astype(np.uint8)
+              for s in [(160, 100), (180, 90), (120, 160)]]
+        results = docscan.scan_batch(fb, config=cfg,
+                                     fallback_common_shape=True)
+        assert all(r["use_whole"] and "binary" in r for r in results)
+        # portrait pages share ONE shape; landscape is the other
+        assert results[0]["binary"].shape == results[1]["binary"].shape \
+            == (200, 141)
+        assert results[2]["binary"].shape == (283, 200)
+        for r in results:
+            assert r["fallback_resized_to"] == r["binary"].shape
+        # parity: identical to the exact path on the pre-resized input.
+        # The landscape group's long side is 283 > scale_long (the
+        # reference's own landscape formula, DocScanner.py:135-137), so
+        # the oracle config's scale_long must match the fallback shape's
+        # long side or process_document would re-shrink the input.
+        import dataclasses
+        for img, r in zip(fb, results):
+            th, tw = r["fallback_resized_to"]
+            pre = np.asarray(geometry.resize(jnp.asarray(img), th, tw,
+                                             "area"))
+            ocfg = dataclasses.replace(cfg, scale_long=max(th, tw))
+            single = docscan.process_document(pre, out_dir=None,
+                                              save_stages=False, config=ocfg)
+            np.testing.assert_array_equal(r["binary"],
+                                          np.asarray(single["binary"]))
+
+
 class TestFallback:
     def test_use_whole_on_featureless_image(self, tmp_path):
         from PIL import Image

@@ -290,6 +290,31 @@ def _warp_target_size(quad: np.ndarray, page: str, scale_long: int) -> Tuple[int
     return th, tw
 
 
+def _fallback_common_size(shape, page: str, scale_long: int) -> Tuple[int, int]:
+    """Common target shape for use-whole fallback pages
+    (scan_batch(fallback_common_shape=True)): the SAME page-ratio formula
+    as _warp_target_size with the portrait test taken from the input's
+    own aspect — so fallback pages land in the identical shape groups as
+    quad-detected pages (at most 2 compiles per batch for the standard
+    page configs). For a custom ``page`` string _warp_target_size derives
+    the ratio from the quad; with no quad here, A-series sqrt(2) is used
+    as the documented default."""
+    h, w = int(shape[0]), int(shape[1])
+    portrait = h >= w
+    pu = page.upper()
+    if pu == "LETTER":
+        ratio = 11.0 / 8.5
+    else:
+        ratio = math.sqrt(2.0)
+    if portrait:
+        th = scale_long
+        tw = int(round(th / ratio))
+    else:
+        tw = scale_long
+        th = int(round(tw * ratio))
+    return th, tw
+
+
 def perspective_warp(rgb: np.ndarray, quad: np.ndarray, page: str = "A4",
                      scale_long: int = 1600) -> jnp.ndarray:
     """DocScanner.py:117-144: homography to the fixed page rectangle."""
@@ -684,7 +709,7 @@ def _finish_document(result: dict, out_dir: Optional[str], do_ocr: bool) -> dict
 
 
 def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
-               mesh=None) -> list:
+               mesh=None, fallback_common_shape: bool = False) -> list:
     """Batched serving path: localize each document on host (cheap,
     per-image), stack the warped pages, and run the fused post-warp
     program per SHAPE GROUP — DP-sharded over a device mesh when one is
@@ -705,8 +730,18 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
     to the dominant page shape would bound compiles but silently change
     the numbers: the pipeline's min-max normalizations and Otsu solves are
     global statistics, so padded pixels would shift every threshold.
-    Exactness wins; callers who need bounded compiles should pre-resize
-    their fallback inputs to a common aspect.
+    Exactness wins by default.
+
+    fallback_common_shape=True bounds compiles for hostile mixed-aspect
+    fleets: use-whole pages are resized (INTER_AREA, no padding) to the
+    config's page geometry at scale_long (_fallback_common_size) — the
+    SAME shape groups as quad-detected pages, so the whole batch compiles
+    at most 2 post-warp programs. The tradeoff is surfaced per page in
+    the returned meta (``fallback_resized_to``): the page is
+    aspect-distorted to the page ratio, so its binary differs from
+    process_document's exact aspect-preserving output (every pixel is
+    still real image content — the global statistics see no synthetic
+    pixels, unlike padding).
 
     This is the scale-out replacement for calling process_document in a
     loop: one jit dispatch amortizes the whole batch (SURVEY.md §2.3 DP).
@@ -769,6 +804,12 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
             if not use_whole and quad is not None:
                 th, tw = _warp_target_size(quad, config.page, config.scale_long)
                 warp_groups.setdefault((rgb.shape, th, tw), []).append(i)
+            elif fallback_common_shape:
+                th, tw = _fallback_common_size(rgb.shape, config.page,
+                                               config.scale_long)
+                stack_dev, pos = dev_stacks[rgb.shape]
+                pages[i] = geometry.resize(stack_dev[pos[i]], th, tw, "area")
+                metas[i]["fallback_resized_to"] = (th, tw)
             else:
                 stack_dev, pos = dev_stacks[rgb.shape]
                 pages[i] = geometry.resize_long_side(
