@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from tpuimage.ops.geometry import resize
+from tpuimage.ops.pil_resize import pil_resize_bicubic
 
 LABELS = ["nightscape", "landscape", "document", "face"]
 # AI_classification.py:51-56
@@ -154,26 +154,43 @@ class TextTower(nn.Module):
         return x @ proj
 
 
+def _resize_output_size(h: int, w: int, short: int = 224) -> Tuple[int, int]:
+    """torchvision ``Resize(int)`` geometry (_compute_resized_output_size):
+    short side -> ``short``, long side -> int(short * long / short_in) —
+    TRUNCATED, not rounded."""
+    if w <= h:
+        return int(short * h / w), short
+    return short, int(short * w / h)
+
+
+def _center_crop_origin(size: int, crop: int) -> int:
+    """torchvision ``CenterCrop`` offset: int(round((size - crop) / 2.0))
+    — Python 3 banker's rounding on the .5 case (odd margins)."""
+    return int(round((size - crop) / 2.0))
+
+
+def preprocess_crop_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """open_clip ViT-B-32 eval transform, uint8 stage: torchvision
+    Resize(224, BICUBIC) + CenterCrop(224) over one (H, W, 3) uint8 image
+    — BIT-EXACT vs the PIL/torchvision host pipeline (the resample is
+    Pillow's fixed-point bicubic reproduced in ops/pil_resize.py; the
+    size/offset arithmetic follows torchvision's truncation/banker's
+    rounding). Shapes are static, so under jit this traces to two
+    integer matmuls + a static slice."""
+    h, w = int(img.shape[0]), int(img.shape[1])
+    nh, nw = _resize_output_size(h, w)
+    out = pil_resize_bicubic(img, nh, nw)
+    top = _center_crop_origin(nh, 224)
+    left = _center_crop_origin(nw, 224)
+    return out[top:top + 224, left:left + 224, :]
+
+
 @functools.partial(jax.jit, static_argnames=())
 def preprocess_batch(rgb_batch: jnp.ndarray) -> jnp.ndarray:
-    """open_clip ViT-B-32 eval transform on-device: resize shorter side to
-    224 is approximated as direct 224x224 resize for already-square crops;
-    non-square inputs get resize(short->224) + center crop."""
-    def one(img):
-        h, w = img.shape[0], img.shape[1]
-        if h == w:
-            out = resize(img, 224, 224, "cubic")
-        elif h < w:
-            nw = int(round(w * 224 / h))
-            out = resize(img, 224, nw, "cubic")
-            off = (nw - 224) // 2
-            out = jax.lax.dynamic_slice(out, (0, off, 0), (224, 224, 3))
-        else:
-            nh = int(round(h * 224 / w))
-            out = resize(img, nh, 224, "cubic")
-            off = (nh - 224) // 2
-            out = jax.lax.dynamic_slice(out, (off, 0, 0), (224, 224, 3))
-        return out
+    """open_clip ViT-B-32 eval transform on-device: Resize(short->224,
+    PIL bicubic) + CenterCrop(224) bit-exact vs the host PIL pipeline
+    (preprocess_crop_u8), then ToTensor + Normalize in f32."""
+    one = preprocess_crop_u8
     x = jax.vmap(one)(rgb_batch) if rgb_batch.ndim == 4 else one(rgb_batch)[None]
     xf = x.astype(jnp.float32) / 255.0
     return (xf - _MEAN) / _STD
