@@ -24,10 +24,10 @@ def _rand(rng, *shape, scale=0.02):
     return rng.standard_normal(shape).astype(np.float32) * scale
 
 
-@pytest.fixture(scope="module")
-def sd():
-    """Random torch-layout state_dict with real ViT-B/32 shapes."""
-    rng = np.random.default_rng(7)
+def make_state_dict(seed: int = 7):
+    """Random torch-layout state_dict with real ViT-B/32 shapes (shared
+    with tests/test_clip_golden.py)."""
+    rng = np.random.default_rng(seed)
     sd = {}
     sd["visual.conv1.weight"] = _rand(rng, 768, 3, 32, 32)
     sd["visual.class_embedding"] = _rand(rng, 768)
@@ -59,6 +59,11 @@ def sd():
         add_block(f"visual.transformer.resblocks.{i}", 768)
         add_block(f"transformer.resblocks.{i}", 512)
     return sd
+
+
+@pytest.fixture(scope="module")
+def sd():
+    return make_state_dict()
 
 
 # ---------------------------------------------------------------------------
