@@ -71,21 +71,40 @@ def main():
     def tok(x):
         return x.astype(jnp.int32).sum()
 
+    def cues_tok(out):
+        return (sum(tok(t) for t in out[:3]) + tok(out[3]) + tok(out[5])
+                + tok(out[4].astype(jnp.int32)))
+
+    # Round-4 cue-schedule sweep (VERDICT r3 Next #4): every variant is
+    # bit-exact (tests pin them); this sweep crowns the production
+    # CUE_SCHEDULE defaults in classify/heuristic.py.
+    from tpuimage.classify.heuristic import _device_cues_batch
+    from tpuimage.ops.edges import canny_batch
+
+    def sched(**kw):
+        return lambda b: cues_tok(_device_cues_batch(b, **kw))
+
     stages = [
         ("gray+otsu", lambda b: tok(jax.vmap(
             lambda im: threshold_otsu(colorops.rgb_to_gray(im))[1])(b))),
         ("canny", lambda b: tok(jax.vmap(
             lambda im: canny(colorops.rgb_to_gray(im), 50, 150))(b))),
+        ("canny_stacked", lambda b: tok(canny_batch(
+            jax.vmap(colorops.rgb_to_gray)(b), 50, 150))),
         ("canny+hough", lambda b: tok(jax.vmap(
             lambda im: hough_lines(canny(colorops.rgb_to_gray(im), 50, 150),
                                    threshold=150, max_lines=256,
                                    max_edges=256 * 256 // 4)[1]
             .astype(jnp.int32))(b))),
-        ("full_cues", lambda b: sum(
-            tok(t) for t in jax.vmap(_device_cues)(b)[:3]) + tok(
-                jax.vmap(_device_cues)(b)[3]) + tok(
-                jax.vmap(_device_cues)(b)[5]) + tok(
-                jax.vmap(_device_cues)(b)[4].astype(jnp.int32))),
+        ("full_cues", lambda b: cues_tok(jax.vmap(_device_cues)(b))),
+        ("cues_batch", sched()),
+        ("cues_stacked", sched(canny_impl="stacked")),
+        ("cues_pack2", sched(theta_pack=2)),
+        ("cues_pack2lo32", sched(theta_pack=2, vote_lo=32)),
+        ("cues_pack4lo32", sched(theta_pack=4, vote_lo=32)),
+        ("cues_st_pack2", sched(canny_impl="stacked", theta_pack=2)),
+        ("cues_st_p4l32", sched(canny_impl="stacked", theta_pack=4,
+                                vote_lo=32)),
     ]
     for name, fn in stages:
         dt = chained(fn)

@@ -198,3 +198,28 @@ class TestBatchClassify:
         singles_w = [heuristic.classify_weighted(im) for im in imgs]
         assert heuristic.classify_priority_batch(imgs) == singles_p
         assert heuristic.classify_weighted_batch(imgs) == singles_w
+
+    def test_cue_schedule_variants_bit_exact(self, rng):
+        """Every CUE_SCHEDULE setting of the batched cue program (stacked
+        canny, packed/radix vote schedules — round-4 levers for VERDICT
+        Next #4) must reproduce jax.vmap(_device_cues) exactly."""
+        import jax
+        import jax.numpy as jnp
+        from tpuimage.io.imageio import load_image_rgb
+        from PIL import Image
+        paths = ["/root/reference/public/facewithnoise.jpg",
+                 "/root/reference/public/nightview.png"]
+        imgs = [np.asarray(Image.fromarray(load_image_rgb(p)).resize(
+            (128, 128)), dtype=np.uint8) for p in paths]
+        imgs.append(np.full((128, 128, 3), 235, np.uint8))
+        imgs.append(rng.integers(0, 256, (128, 128, 3), np.uint8))
+        stack = jnp.asarray(np.stack(imgs))
+        ref = jax.vmap(heuristic._device_cues)(stack)
+        for sched in ({"canny_impl": "stacked"},
+                      {"theta_pack": 2},
+                      {"canny_impl": "stacked", "theta_pack": 4,
+                       "vote_lo": 32},
+                      {"theta_pack": 2, "vote_lo": 32}):
+            got = heuristic._device_cues_batch(stack, **sched)
+            for r, g in zip(ref, got):
+                np.testing.assert_array_equal(np.asarray(r), np.asarray(g)), sched

@@ -173,6 +173,23 @@ class TestHoughPallas:
                                               **kw))
             np.testing.assert_array_equal(a, c)
 
+    def test_theta_pack_inner_equals_xla(self, rng):
+        """theta_pack on the THETA-INNER schedule (pk thetas per chunk dot
+        AND theta_bins/pk fori iterations — the classify-cue lever of
+        round-4) must produce identical counts to the XLA accumulator,
+        at both hi/lo radixes, through the production hough_accumulator
+        surface (256x256 cue-image config routes to the inner path)."""
+        edges = (rng.random((256, 256)) < 0.1).astype(np.uint8) * 255
+        e = jnp.asarray(edges)
+        budget = max(min((256 * 256 * 9) // 16, 524288), 128 * 256)
+        a = np.asarray(hough_mod.hough_accumulator(e, impl="xla",
+                                                   max_edges=budget))
+        for pk, lo in ((2, 0), (2, 32), (4, 32)):
+            b = np.asarray(hough_mod.hough_accumulator(
+                e, impl="pallas", max_edges=budget, theta_pack=pk,
+                vote_lo=lo))
+            np.testing.assert_array_equal(a, b, err_msg=f"pack={pk} lo={lo}")
+
     @pytest.mark.parametrize("with_wins", [False, True])
     def test_unroll_equals_serial(self, rng, with_wins):
         """unroll=U (U chunks per fori body, one basic block so Mosaic can

@@ -8,6 +8,7 @@ large-rectangle cue and the Haar face count use the host detectors
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import numpy as np
@@ -16,7 +17,7 @@ import jax.numpy as jnp
 
 from tpuimage.ops import color as colorops
 from tpuimage.ops.threshold import threshold_otsu
-from tpuimage.ops.edges import canny
+from tpuimage.ops.edges import canny, canny_batch
 from tpuimage.ops.hough import hough_line_count
 from tpuimage.detect import contours as cnt
 from tpuimage.detect.haar import detect_faces, detect_faces_batch
@@ -141,9 +142,51 @@ def classify_weighted(rgb: np.ndarray) -> Tuple[str, Dict[str, float]]:
 # batch serving path
 # ---------------------------------------------------------------------------
 
+# Batched cue-program schedule, bit-exact on every setting (the parity
+# tests pin all of them against jax.vmap(_device_cues)):
+#   canny:      "vmap" (per-image canny under vmap) | "stacked" (one
+#               stacked-plane hysteresis fixpoint — ops.edges.canny_batch)
+#   theta_pack / unroll / vote_lo: the Hough vote-kernel schedule knobs
+#               (ops.hough.hough_accumulator).
+# Defaults stay on the round-3 measured path until the round-4 battery
+# (benchmarks/micro_classify.py measures every variant) crowns winners —
+# flip HERE, production batch classification reads this dict.
+CUE_SCHEDULE: Dict[str, object] = {
+    "canny": "vmap", "theta_pack": 1, "unroll": 1, "vote_lo": 0,
+}
+
+
+@functools.partial(jax.jit, static_argnames=("canny_impl", "theta_pack",
+                                             "unroll", "vote_lo"))
+def _device_cues_batch(stack, canny_impl: str = "vmap", theta_pack: int = 1,
+                       unroll: int = 1, vote_lo: int = 0):
+    """_device_cues over a same-shape stack — identical per-image outputs
+    (pinned by tests/test_classify.py) with the batch-level levers of
+    round-3 VERDICT Next #4: optionally ONE stacked-plane canny
+    hysteresis fixpoint for the whole batch and a packed vote-kernel
+    schedule, instead of vmapping everything per image."""
+    gray = (jax.vmap(colorops.rgb_to_gray)(stack) if stack.ndim == 4
+            else stack)
+    binary = jax.vmap(lambda g: threshold_otsu(g)[1])(gray)
+    white_ratio = jnp.mean((binary == 255).astype(jnp.float32), axis=(1, 2))
+    if canny_impl == "stacked":
+        edges = canny_batch(gray, 50, 150)
+    else:
+        edges = jax.vmap(lambda g: canny(g, 50, 150))(gray)
+    h, w = gray.shape[1], gray.shape[2]
+    budget = max(min((h * w * 9) // 16, 524288), 128 * h)
+    line_count, overflow = jax.vmap(
+        lambda e: hough_line_count(e, threshold=150, max_lines=256,
+                                   max_edges=budget, return_overflow=True,
+                                   theta_pack=theta_pack, unroll=unroll,
+                                   vote_lo=vote_lo))(edges)
+    brightness = jnp.mean(gray.astype(jnp.float32), axis=(1, 2))
+    return white_ratio, line_count, brightness, binary, overflow, gray
+
+
 def _batch_cues(rgbs):
     """Device cues for a list of images: same-shape groups run as ONE
-    vmapped program (which also yields the grayscale, so Haar needs no
+    batched program (which also yields the grayscale, so Haar needs no
     per-image rgb_to_gray dispatches — each was a tunnel round trip);
     Haar faces run as one batched cascade pass afterwards.
     Returns per-image (bmean, face_count, white_ratio, line_count, rect)."""
@@ -158,7 +201,11 @@ def _batch_cues(rgbs):
         by_shape.setdefault(a.shape, []).append(i)
     for shape, idxs in by_shape.items():
         stack = jnp.asarray(np.stack([arrs[i] for i in idxs]))
-        wr, lc, _, binary, ovf, gray = jax.vmap(_device_cues)(stack)
+        wr, lc, _, binary, ovf, gray = _device_cues_batch(
+            stack, canny_impl=CUE_SCHEDULE["canny"],
+            theta_pack=CUE_SCHEDULE["theta_pack"],
+            unroll=CUE_SCHEDULE["unroll"],
+            vote_lo=CUE_SCHEDULE["vote_lo"])
         if bool(np.asarray(ovf).any()):
             _warn_overflow()
         wr, lc = np.asarray(wr), np.asarray(lc)

@@ -180,46 +180,12 @@ def dilate8_bool(b: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def canny(gray: jnp.ndarray, low: float, high: float,
-          l2_gradient: bool = False, max_hysteresis_iters: int | None = None,
-          impl: str = "auto") -> jnp.ndarray:
-    """cv2.Canny on uint8 gray, aperture 3 (all reference call sites).
-
-    Exact algorithm: Sobel3 (replicate border) -> L1 (default) or L2
-    magnitude -> OpenCV's integer sector NMS -> double threshold ->
-    hysteresis to the weak-reachability fixpoint. Returns uint8 0/255.
-
-    ``impl`` selects the hysteresis growth schedule (both converge to the
-    identical fixpoint — growth is monotone within weak-reachability):
-      - "dilate":   8 masked 3x3 dilations per convergence check. Cheap
-        per step but needs one step per chain pixel (landscape images run
-        200+ checks x 8 steps). CPU default: XLA:CPU lowers the
-        associative scans below poorly (measured 8-20x slower there).
-      - "linescan": flood through ENTIRE horizontal/vertical 4-connected
-        weak runs per pass via lax.associative_scan (log2(n) combines),
-        plus one masked dilation for diagonal hops. Converges in 5-21
-        checks on the same images (10-45x fewer). TPU default.
-
-    Per-image iteration counts are content-dependent: long H/V chains
-    (landscape/night scenes, resized cue images) favor linescan (e.g.
-    IS.png 31 -> 7, sample2 200 -> 21); diagonal-heavy or already-binary
-    inputs favor dilate (document1 7 vs 11, binarized A4 page 1 vs 1,
-    noise images 2-5 vs 5-10) — docscan pins impl="dilate" at those call
-    sites. Under vmap the batch pays the MAX iteration count, which is
-    where linescan's tight bound dominates (12-image cue sweep: max 256
-    dilate checks vs 16).
-    """
-    if impl == "auto":
-        impl = "dilate" if jax.default_backend() == "cpu" else "linescan"
-    if impl not in ("dilate", "linescan"):
-        raise ValueError(f"impl must be auto|dilate|linescan, got {impl!r}")
-    strong, weak = canny_pre(gray, low, high, l2_gradient)
-
-    # --- hysteresis: grow strong through 8-connected weak, to fixpoint ---
+def _hysteresis_fixpoint(strong: jnp.ndarray, weak: jnp.ndarray,
+                         impl: str, max_iters: int) -> jnp.ndarray:
+    """Grow ``strong`` through 8-connected ``weak`` to the reachability
+    fixpoint (shared by :func:`canny` and :func:`canny_batch`; the growth
+    schedules and their measured tradeoff are documented on ``canny``)."""
     dilate8 = dilate8_bool
-
-    h, w = gray.shape
-    max_iters = max_hysteresis_iters or (h + w)
 
     def cond(state):
         i, s, changed = state
@@ -262,5 +228,87 @@ def canny(gray: jnp.ndarray, low: float, high: float,
                 new = new | (weak & dilate8(new))
             return i + 1, new, jnp.any(new != s)
 
-    _, strong, _ = lax.while_loop(cond, body, (jnp.int32(0), strong, jnp.bool_(True)))
+    _, strong, _ = lax.while_loop(cond, body,
+                                  (jnp.int32(0), strong, jnp.bool_(True)))
+    return strong
+
+
+def canny(gray: jnp.ndarray, low: float, high: float,
+          l2_gradient: bool = False, max_hysteresis_iters: int | None = None,
+          impl: str = "auto") -> jnp.ndarray:
+    """cv2.Canny on uint8 gray, aperture 3 (all reference call sites).
+
+    Exact algorithm: Sobel3 (replicate border) -> L1 (default) or L2
+    magnitude -> OpenCV's integer sector NMS -> double threshold ->
+    hysteresis to the weak-reachability fixpoint. Returns uint8 0/255.
+
+    ``impl`` selects the hysteresis growth schedule (both converge to the
+    identical fixpoint — growth is monotone within weak-reachability):
+      - "dilate":   8 masked 3x3 dilations per convergence check. Cheap
+        per step but needs one step per chain pixel (landscape images run
+        200+ checks x 8 steps). CPU default: XLA:CPU lowers the
+        associative scans below poorly (measured 8-20x slower there).
+      - "linescan": flood through ENTIRE horizontal/vertical 4-connected
+        weak runs per pass via lax.associative_scan (log2(n) combines),
+        plus one masked dilation for diagonal hops. Converges in 5-21
+        checks on the same images (10-45x fewer). TPU default.
+
+    Per-image iteration counts are content-dependent: long H/V chains
+    (landscape/night scenes, resized cue images) favor linescan (e.g.
+    IS.png 31 -> 7, sample2 200 -> 21); diagonal-heavy or already-binary
+    inputs favor dilate (document1 7 vs 11, binarized A4 page 1 vs 1,
+    noise images 2-5 vs 5-10) — docscan pins impl="dilate" at those call
+    sites. Under vmap the batch pays the MAX iteration count, which is
+    where linescan's tight bound dominates (12-image cue sweep: max 256
+    dilate checks vs 16).
+    """
+    if impl == "auto":
+        impl = "dilate" if jax.default_backend() == "cpu" else "linescan"
+    if impl not in ("dilate", "linescan"):
+        raise ValueError(f"impl must be auto|dilate|linescan, got {impl!r}")
+    strong, weak = canny_pre(gray, low, high, l2_gradient)
+
+    h, w = gray.shape
+    max_iters = max_hysteresis_iters or (h + w)
+    strong = _hysteresis_fixpoint(strong, weak, impl, max_iters)
     return jnp.where(strong, jnp.uint8(255), jnp.uint8(0))
+
+
+def canny_batch(grays: jnp.ndarray, low: float, high: float,
+                l2_gradient: bool = False,
+                max_hysteresis_iters: int | None = None,
+                impl: str = "auto") -> jnp.ndarray:
+    """:func:`canny` over a same-shape batch (B, H, W) — BIT-IDENTICAL to
+    per-image canny, as ONE stacked-plane program instead of a vmapped one.
+
+    vmap of ``canny`` pays per-iteration batching overhead in the
+    hysteresis ``while_loop`` (masked selects over the whole batch per
+    convergence check) and runs every scan/dilate with an extra batch
+    dim. Here the batch is stacked into a single (B*(H+2), W) plane —
+    each image bordered by its own REFLECT_101 row so the Sobel stencil
+    is exact at image edges, with guard rows masked out of the NMS via
+    ``canny_pre``'s row_valid (guards carry magnitude 0, matching the
+    per-image out-of-range fill) — and the hysteresis fixpoint runs once
+    on the plane. Guard rows are never weak, so growth cannot cross
+    image boundaries; the joint fixpoint therefore equals each image's
+    own fixpoint, reached in max-over-batch iterations (exactly what the
+    vmapped while_loop pays). The classifier's batched cue program is
+    the motivating caller (round-3 VERDICT Next #4: the 12-image cue
+    sweep's canny block).
+    """
+    b, h, w = grays.shape
+    assert h >= 2, "canny_batch needs H >= 2 (REFLECT_101 guard rows)"
+    if impl == "auto":
+        impl = "dilate" if jax.default_backend() == "cpu" else "linescan"
+    if impl not in ("dilate", "linescan"):
+        raise ValueError(f"impl must be auto|dilate|linescan, got {impl!r}")
+    g = jnp.concatenate([grays[:, 1:2], grays, grays[:, h - 2:h - 1]],
+                        axis=1)                       # (B, H+2, W)
+    plane = g.reshape(b * (h + 2), w)
+    valid = np.tile(np.concatenate([[False], np.ones(h, bool), [False]]), b)
+    strong, weak = canny_pre(plane, low, high, l2_gradient,
+                             row_valid=jnp.asarray(valid))
+    max_iters = max_hysteresis_iters or (h + w)
+    strong = _hysteresis_fixpoint(strong, weak, impl, max_iters)
+    out = jnp.where(strong, jnp.uint8(255), jnp.uint8(0))
+    return out.reshape(b, h + 2, w)[:, 1:h + 1]

@@ -255,12 +255,14 @@ def theta_windows(h: int, w: int, c_mid: int, rho_base: int, rho_bins: int,
 
 @functools.partial(jax.jit, static_argnames=("rho", "theta_bins", "max_edges",
                                               "impl", "return_overflow",
-                                              "theta_pack", "unroll"))
+                                              "theta_pack", "unroll",
+                                              "vote_lo"))
 def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
                       theta_bins: int = 180,
                       max_edges: int = 0, impl: str = "auto",
                       return_overflow: bool = False,
-                      theta_pack: int = 1, unroll: int = 1):
+                      theta_pack: int = 1, unroll: int = 1,
+                      vote_lo: int = 0):
     """(numrho, numtheta) vote accumulator, same binning as cv2.HoughLines
     with theta = pi/theta_bins: r = round((x cos t + y sin t)/rho) + (nr-1)/2.
 
@@ -278,11 +280,14 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
     "xla" / "pallas" force a path (the Pallas kernel runs interpreted off
     TPU; tests assert the two produce identical counts).
 
-    theta_pack / unroll tune the Pallas vote kernel's schedule (thetas
-    packed per MXU tile pass; chunks per fori body — see
-    hough_votes_pallas); identical counts on every setting, ignored on
-    the XLA path. Defaults are the measured production winners; flip
-    here after benchmarks/r3_battery.py's vote section settles them.
+    theta_pack / unroll / vote_lo tune the Pallas vote kernel's schedule
+    (thetas packed per MXU tile pass — on BOTH the grid and the
+    theta-inner schedule; chunks per fori body; the hi/lo radix of the
+    one-hot factorization, vote_lo=32 admits theta_pack=4 on small
+    images — see hough_votes_pallas); identical counts on every setting,
+    ignored on the XLA path. Defaults are the measured production
+    winners; flip here after benchmarks/r3_battery.py's vote section
+    settles them.
     """
     h, w = edges.shape
     numrho = int(round(((w + h) * 2 + 1) / rho))
@@ -305,8 +310,9 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
         rho_base = max(c_mid - (w - 1) - 1, 0)
         rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, h - 1))) + 1, numrho - 1)
         rho_bins = rho_hi - rho_base + 1
+        lo = vote_lo if vote_lo > 0 else _HOUGH_LO
         win0, span = theta_windows(h, w, c_mid, rho_base, rho_bins,
-                                   _HOUGH_LO, theta_bins)
+                                   lo, theta_bins)
         # rows=128 measured fastest with windows for A4 pages (micro_hough:
         # 6.0 ms static clip/rows64 -> 4.3 ms wins/rows128 at batch 8). On
         # the theta-inner path (small cue images, kk <= 384 = the
@@ -318,12 +324,15 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
         kk_est = min(max(1, k // 128), -(-(h * w) // 128))
         rows = 128 if kk_est > 384 else 32
         if theta_pack > 1 and (theta_pack * (span + 1) > 128
+                               or theta_pack * lo > 128
                                or theta_bins % theta_pack):
-            theta_pack = 1  # page too tall for packed hi rows: fall back
+            theta_pack = 1  # page too tall for packed hi/lo rows: fall back
+        if theta_pack > 1 and rows != 128:
+            unroll = 1  # the inner-pack kernel is serial-only
         acc = hough_votes_pallas(xs_t, ys_t, counts, numrho, theta_bins,
                                  interpret=not on_tpu, rho_base=rho_base,
                                  rho_bins=rho_bins, rows=rows,
-                                 theta_wins=win0,
+                                 lo_bins=lo, theta_wins=win0,
                                  win_hi=span, theta_pack=theta_pack,
                                  unroll=unroll)
         return (acc, overflow) if return_overflow else acc
@@ -421,7 +430,9 @@ def fold_median_from_acc(acc: jnp.ndarray, threshold: int,
 
 def hough_line_count(edges: jnp.ndarray, threshold: int, rho: float = 1.0,
                      theta_bins: int = 180, max_lines: int = 64,
-                     max_edges: int = 0, return_overflow: bool = False):
+                     max_edges: int = 0, return_overflow: bool = False,
+                     theta_pack: int = 1, unroll: int = 1,
+                     vote_lo: int = 0):
     """min(number of Hough peaks above threshold, max_lines) — identical to
     ``hough_lines(...)[1].sum()`` (top_k keeps exactly the positive-vote
     peaks) without materializing the top_k extraction, which dominates the
@@ -431,10 +442,14 @@ def hough_line_count(edges: jnp.ndarray, threshold: int, rho: float = 1.0,
     ``return_overflow=True`` appends the edge-budget overflow bool: True
     means the compaction dropped edges and the count is an undercount.
     Callers passing a tight ``max_edges`` should consume it (the round-2
-    guard exists so over-budget inputs fail loudly, not silently)."""
+    guard exists so over-budget inputs fail loudly, not silently).
+    theta_pack / unroll / vote_lo tune the Pallas vote schedule (counts
+    identical on every setting — see hough_accumulator)."""
     acc, overflow = hough_accumulator(edges, rho=rho, theta_bins=theta_bins,
                                       max_edges=max_edges,
-                                      return_overflow=True)
+                                      return_overflow=True,
+                                      theta_pack=theta_pack, unroll=unroll,
+                                      vote_lo=vote_lo)
     n = jnp.minimum(jnp.sum(_is_peak(acc, threshold).astype(jnp.int32)),
                     max_lines)
     return (n, overflow) if return_overflow else n

@@ -445,7 +445,52 @@ def _make_hough_kernel(n_hi: int, nbins: int,
 
         jax.lax.fori_loop(0, n_t, tloop, 0)
 
-    return kernel, kernel_inner, make_kernel_pack
+    def make_kernel_inner_pack(pk: int):
+        # theta_pack on the INNER schedule: pk thetas share each chunk's
+        # MXU dot (block-diagonal acc, off-diagonal cross counts never
+        # read — same trick as make_kernel_pack) AND the theta fori runs
+        # theta_bins/pk iterations. On tiny cue images the per-iteration
+        # scalar machinery (SMEM reads, acc zeroing, out writes) dominates
+        # the voting work, so fewer+fatter iterations is the lever the
+        # classify-cue bar needs (round-3 VERDICT Next #4).
+        def kernel_inner_pack(nt_ref, ct_ref, st_ref, rs_ref, xs_ref,
+                              ys_ref, out_ref, acc_ref):
+            n_t = ct_ref.shape[0]
+
+            def one_chunk(t, c):
+                hs, ls = [], []
+                for j in range(pk):
+                    hj, lj = build(c, ct_ref[pk * t + j, 0],
+                                   st_ref[pk * t + j, 0],
+                                   rs_ref[pk * t + j, 0], xs_ref, ys_ref)
+                    hs.append(hj)
+                    ls.append(lj)
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    jnp.concatenate(hs, axis=0), jnp.concatenate(ls, axis=0),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=acc_dtype)
+
+            def tloop(t, _):
+                acc_ref[:] = jnp.zeros((pk * n_hi, pk * lo_bins), acc_dtype)
+
+                def body(c, _):
+                    one_chunk(t, c)
+                    return 0
+
+                jax.lax.fori_loop(0, nt_ref[0, 0], body, 0)
+                a = acc_ref[:]
+                for j in range(pk):
+                    out_ref[pl.ds(pk * t + j, 1)] = a[
+                        j * n_hi:(j + 1) * n_hi,
+                        j * lo_bins:(j + 1) * lo_bins].reshape(
+                            (1,) + acc_shape)
+                return 0
+
+            jax.lax.fori_loop(0, n_t // pk, tloop, 0)
+
+        return kernel_inner_pack
+
+    return kernel, kernel_inner, make_kernel_pack, make_kernel_inner_pack
 
 
 # Poison coordinates for invalid edge slots: r = x cos(t) + y sin(t) lands
@@ -556,7 +601,8 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     n_trips = ((jnp.max(counts) + rows - 1) // rows
                ).astype(jnp.int32).reshape(1, 1)
 
-    kernel, kernel_inner, make_kernel_pack = _make_hough_kernel(
+    (kernel, kernel_inner, make_kernel_pack,
+     make_kernel_inner_pack) = _make_hough_kernel(
         n_hi, rho_bins, mxu_dtype, acc_dtype, rows, swap_mn, lo_bins,
         n_chunks=kb // rows, pipelined=pipelined, unroll=unroll)
     acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
@@ -621,8 +667,19 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
         )(n_trips, cos_t, sin_t, rs_t, xs_t, ys_t)
         return unpack(votes)
     if theta_inner == "inner":
+        if theta_pack > 1:
+            pk = theta_pack
+            assert not swap_mn and not pipelined and unroll == 1, \
+                "inner theta_pack supports only the default serial schedule"
+            assert (theta_bins % pk == 0 and pk * n_hi <= 128
+                    and pk * lo_bins <= 128)
+            inner_kernel = make_kernel_inner_pack(pk)
+            scratch = pltpu.VMEM((pk * n_hi, pk * lo_bins), acc_dtype)
+        else:
+            inner_kernel = kernel_inner
+            scratch = pltpu.VMEM(acc_shape, acc_dtype)
         votes = pl.pallas_call(
-            kernel_inner,
+            inner_kernel,
             out_shape=jax.ShapeDtypeStruct((theta_bins,) + acc_shape,
                                            acc_dtype),
             in_specs=[
@@ -634,7 +691,7 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM(acc_shape, acc_dtype)],
+            scratch_shapes=[scratch],
             interpret=interpret,
         )(n_trips, cos_t, sin_t, rs_t, xs_t, ys_t)
         return unpack(votes)
