@@ -164,7 +164,7 @@ def bench_e2e_serve():
     FULL reference path (load -> localize -> warp -> post-warp -> fetch;
     /root/reference/DocScanner.py:262-365) via scan_batch, against the same
     chain composed from cv2 calls (benchmarks/e2e_docscan.py's harness).
-    Returns (tpu_ms_per_img, cpu_ms_per_img)."""
+    Returns (tpu_ms_per_img, cpu_ms_per_img, stream_ms_per_img)."""
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "e2e_docscan",
@@ -192,7 +192,19 @@ def bench_e2e_serve():
     for _ in range(3):
         e2e.cpu_e2e_once(rgb)
     cpu_ms = (time.perf_counter() - t0) / 3 * 1e3
-    return tpu_ms, cpu_ms
+
+    # pipelined steady-state serving (scan_stream): host contour work and
+    # the next batch's upload overlap the in-flight post-warp program
+    n_batches = 4
+    stream_in = [[im.copy() for im in inputs] for _ in range(n_batches)]
+    best_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _res in docscan.scan_stream(iter(stream_in), cfg):
+            pass
+        best_s = min(best_s, time.perf_counter() - t0)
+    stream_ms = best_s / (n_batches * len(inputs)) * 1e3
+    return tpu_ms, cpu_ms, stream_ms
 
 
 def main():
@@ -213,10 +225,12 @@ def main():
     # second BASELINE.json:2 metric (end-to-end serve); best-effort — the
     # headline metric above must survive any failure here
     try:
-        tpu_ms, cpu_ms = bench_e2e_serve()
+        tpu_ms, cpu_ms, stream_ms = bench_e2e_serve()
         rec["e2e_ms_per_img"] = round(tpu_ms, 1)
         rec["e2e_img_per_s"] = round(1e3 / tpu_ms, 2)
         rec["e2e_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
+        rec["e2e_stream_img_per_s"] = round(1e3 / stream_ms, 2)
+        rec["e2e_stream_vs_baseline"] = round(cpu_ms / stream_ms, 2)
     except Exception:
         pass
     print(json.dumps(rec))

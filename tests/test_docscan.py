@@ -338,6 +338,34 @@ class TestScanBatch:
             np.testing.assert_array_equal(r["binary"],
                                           np.asarray(single["binary"]))
 
+    def test_scan_stream_matches_scan_batch(self, tmp_path):
+        """Pipelined scan_stream yields, per batch and in order, EXACTLY
+        what scan_batch returns — including per-image error isolation,
+        quad + use-whole mixes, and a trailing short batch. (The stream
+        only reorders dispatch/fetch across batches; the math is the same
+        phase functions.)"""
+        from PIL import Image
+        cfg = docscan.DocScanConfig(scale_long=200, mask_blur_ksize=15,
+                                    block_size=15)
+        with Image.open(DOC1) as im:
+            doc = np.asarray(im.convert("RGB"))
+        flat = np.full((120, 160, 3), 200, np.uint8)
+        batches = [[doc, str(tmp_path / "missing.png")],
+                   [flat, doc],
+                   [flat]]
+        streamed = list(docscan.scan_stream(iter(batches), config=cfg))
+        serial = [docscan.scan_batch(b, config=cfg) for b in batches]
+        assert len(streamed) == len(serial) == 3
+        for got_batch, want_batch in zip(streamed, serial):
+            assert len(got_batch) == len(want_batch)
+            for got, want in zip(got_batch, want_batch):
+                assert ("error" in got) == ("error" in want)
+                if "error" in got:
+                    continue
+                assert got["use_whole"] == want["use_whole"]
+                np.testing.assert_array_equal(got["binary"], want["binary"])
+                assert got["deskew_overflow"] == want["deskew_overflow"]
+
 
 class TestFallback:
     def test_use_whole_on_featureless_image(self, tmp_path):

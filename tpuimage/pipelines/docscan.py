@@ -227,14 +227,14 @@ def _localize_device_batch_packed(rgbs: jnp.ndarray, canny_low: int,
     return jnp.concatenate([eb, sb, ob], axis=1)
 
 
-def localize_batch_dev(rgb_dev: jnp.ndarray, config: DocScanConfig) -> list:
-    """Batched localize over a DEVICE-RESIDENT same-shape stack: ONE
-    vmapped dispatch for Canny + Hough segments (results flattened into a
-    single bit-packed buffer → one tunnel fetch), then the per-image host
-    contour walk."""
-    b, h, w = int(rgb_dev.shape[0]), int(rgb_dev.shape[1]), int(rgb_dev.shape[2])
-    buf = np.asarray(_localize_device_batch_packed(
-        rgb_dev, config.canny_low, config.canny_high))
+def _localize_parse_buf(buf: np.ndarray, h: int, w: int,
+                        config: DocScanConfig) -> list:
+    """Host half of the batched localize: parse the fetched packed buffer
+    (layout of _localize_device_batch_packed) and run the per-image
+    contour walk / quad fit. Per-image isolation: one malformed image must
+    not poison its shape group (scan_batch contract) — failed entries
+    carry the exception."""
+    b = buf.shape[0]
     ne = h * (-(-w // 8))
     edges_b = _unpack_bits_host(buf[:, :ne].reshape(b, h, -1), w)
     n_segs = (buf.shape[1] - ne) // 17   # 16 bitcast bytes + 1 valid byte
@@ -243,15 +243,23 @@ def localize_batch_dev(rgb_dev: jnp.ndarray, config: DocScanConfig) -> list:
     ok_b = buf[:, ne + n_segs * 16:].astype(bool)
     out = []
     for i in range(b):
-        # per-image isolation of the HOST half (contour walk / quad fit):
-        # one malformed image must not poison its shape group (scan_batch
-        # contract). Failed entries carry the exception.
         try:
             out.append(_quad_from_localize(edges_b[i], segs_b[i], ok_b[i],
                                            (h, w), config))
         except Exception as e:  # noqa: BLE001 — isolation boundary
             out.append(e)
     return out
+
+
+def localize_batch_dev(rgb_dev: jnp.ndarray, config: DocScanConfig) -> list:
+    """Batched localize over a DEVICE-RESIDENT same-shape stack: ONE
+    vmapped dispatch for Canny + Hough segments (results flattened into a
+    single bit-packed buffer → one tunnel fetch), then the per-image host
+    contour walk."""
+    h, w = int(rgb_dev.shape[1]), int(rgb_dev.shape[2])
+    buf = np.asarray(_localize_device_batch_packed(
+        rgb_dev, config.canny_low, config.canny_high))
+    return _localize_parse_buf(buf, h, w, config)
 
 
 def localize_batch(rgbs: np.ndarray, config: DocScanConfig) -> list:
@@ -393,8 +401,11 @@ def _pre_deskew_stages(warped_rgb: jnp.ndarray, config: DocScanConfig,
     impl steers the blackhat + the ink-mask EPILOGUE
     (threshold/dilate/weighting): "pallas" forces the fused kernels, "xla"
     the plain ops; identical integer results (tests/test_fused_chain.py).
-    "auto" currently equals "xla" pending hardware parity + timing of the
-    kernels (CLAUDE.md runbook; flip to the measured winner)."""
+    "auto" = "xla": MEASURED winner on the real chip (r4 battery, batch 8
+    A4: xla 4.08 ms vs the fused Pallas chain's 13.42 ms — Mosaic's
+    misaligned-slice VMEM stacking makes the hand-fused gaussian/blackhat
+    chain 3x SLOWER than XLA's banded-matmul form; hardware parity of the
+    fused path confirmed in the same run)."""
     c = config
     gray = colorops.rgb_to_gray(warped_rgb)
     fused = impl == "pallas"
@@ -464,8 +475,8 @@ def _pre_deskew_stages(warped_rgb: jnp.ndarray, config: DocScanConfig,
 
     # --- masks + dilate + mask weighting (:207-212, :338-339) ---
     # impl="pallas" forces the fused epilogue kernel; "auto" stays on the
-    # ops path until hardware parity + timing land (CLAUDE.md runbook —
-    # same gating as morph_blackhat above).
+    # ops path — measured winner (r4 battery prechain section; hardware
+    # parity of the fused path confirmed in the same run).
     if impl == "pallas":
         from tpuimage.ops.pallas_kernels import (inkmask_pallas_applicable,
                                                  inkmask_weighted_pallas)
@@ -585,12 +596,11 @@ def docscan_post_warp_batch_serve(warped_batch: jnp.ndarray,
     return {"buf": buf, "clean": out["clean"]}
 
 
-def _post_warp_serve_host(batch: jnp.ndarray, config: DocScanConfig):
-    """Run the serve program and fetch results with ONE tunnel round trip
-    in the no-rotation common case. Returns (clean u8 (b,h,w), angles,
-    overflow)."""
-    b, h, w = (int(batch.shape[0]), int(batch.shape[1]), int(batch.shape[2]))
-    out = docscan_post_warp_batch_serve(batch, config)
+def _serve_parse(out: dict, b: int, h: int, w: int):
+    """Fetch + decode a dispatched serve program's outputs (the blocking
+    half of _post_warp_serve_host): ONE tunnel round trip in the
+    no-rotation common case. Returns (clean u8 (b,h,w), angles, overflow).
+    """
     buf = np.asarray(out["buf"])
     angles = buf[:4 * b].copy().view(np.float32)
     oflow = buf[4 * b:5 * b].astype(bool)
@@ -599,6 +609,13 @@ def _post_warp_serve_host(batch: jnp.ndarray, config: DocScanConfig):
     else:
         clean = _unpack_bits_host(buf[5 * b:].reshape(b, h, -1), w)
     return clean, angles, oflow
+
+
+def _post_warp_serve_host(batch: jnp.ndarray, config: DocScanConfig):
+    """Run the serve program and fetch results. Returns (clean u8
+    (b,h,w), angles, overflow)."""
+    b, h, w = (int(batch.shape[0]), int(batch.shape[1]), int(batch.shape[2]))
+    return _serve_parse(docscan_post_warp_batch_serve(batch, config), b, h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -745,12 +762,26 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
 
     This is the scale-out replacement for calling process_document in a
     loop: one jit dispatch amortizes the whole batch (SURVEY.md §2.3 DP).
+
+    Implementation: four serving phases (load/localize-dispatch →
+    quad-fit/warp → post-warp dispatch → fetch) shared with scan_stream,
+    which reorders them across batches to overlap host and device work.
     """
-    # --- load + localize (same-shape raw images share ONE upload and ONE
-    # device dispatch; the uploaded stack stays device-resident for the
-    # warp so each image crosses the ~40 MB/s tunnel exactly once) ---
+    state = _scan_load_localize(inputs, config)
+    _scan_quad_fit(state, config, fallback_common_shape)
+    _scan_postwarp_dispatch(state, config, mesh)
+    return _scan_fetch(state)
+
+
+def _scan_load_localize(inputs, config: DocScanConfig) -> dict:
+    """Serving phase 1 — host image load, shape grouping, ONE upload and
+    ONE localize dispatch per same-shape group (each image crosses the
+    ~40 MB/s tunnel exactly once; the stack stays device-resident for the
+    warp). No blocking device work: the packed localize buffers are left
+    un-fetched device handles."""
+    n = len(inputs)
     rgbs = []
-    metas = [None] * len(inputs)
+    metas: list = [None] * n
     for i, item in enumerate(inputs):
         try:
             rgbs.append(load_image_rgb(item)
@@ -759,17 +790,44 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
         except Exception as e:
             metas[i] = {"error": str(e)}
             rgbs.append(None)
-    quads = [None] * len(inputs)
     by_shape: Dict[tuple, list] = {}
     for i, rgb in enumerate(rgbs):
         if rgb is not None:
             by_shape.setdefault(rgb.shape, []).append(i)
     dev_stacks: Dict[tuple, tuple] = {}   # shape -> (device stack, {idx: row})
+    loc_bufs: Dict[tuple, jnp.ndarray] = {}
     for shape, idxs in by_shape.items():
         try:
             stack_dev = jnp.asarray(np.stack([rgbs[i] for i in idxs]))
             dev_stacks[shape] = (stack_dev, {i: j for j, i in enumerate(idxs)})
-            found = localize_batch_dev(stack_dev, config)
+            loc_bufs[shape] = _localize_device_batch_packed(
+                stack_dev, config.canny_low, config.canny_high)
+        except Exception as e:
+            # upload / trace / compile failure is systemic for the group
+            for i in idxs:
+                metas[i] = {"error": str(e)}
+                rgbs[i] = None
+    return {"n": n, "rgbs": rgbs, "metas": metas, "by_shape": by_shape,
+            "dev_stacks": dev_stacks, "loc_bufs": loc_bufs}
+
+
+def _scan_quad_fit(state: dict, config: DocScanConfig,
+                   fallback_common_shape: bool) -> None:
+    """Serving phase 2 — fetch the localize buffers (blocks ONLY on the
+    localize programs: they were dispatched before any later device work),
+    host contour walk + quad fit + homography solves, then dispatch the
+    batched warps / fallback resizes. Ends with ``state['pages']``
+    device-resident; no result fetch."""
+    rgbs, metas = state["rgbs"], state["metas"]
+    dev_stacks = state["dev_stacks"]
+    quads: list = [None] * state["n"]
+    for shape, idxs in state["by_shape"].items():
+        if shape not in state["loc_bufs"]:
+            continue   # phase-1 group failure already recorded
+        try:
+            buf = np.asarray(state["loc_bufs"][shape])
+            found = _localize_parse_buf(buf, int(shape[0]), int(shape[1]),
+                                        config)
             for i, q in zip(idxs, found):
                 if isinstance(q, Exception):
                     # host-side quad fit failed for THIS image only
@@ -779,16 +837,17 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
                     quads[i] = q
         except Exception as e:
             # the batched device dispatch is all-or-nothing by
-            # construction; a failure here is systemic (compile/OOM),
+            # construction; a failure here is systemic (execution/OOM),
             # not data-dependent
             for i in idxs:
                 metas[i] = {"error": str(e)}
                 rgbs[i] = None
+    del state["loc_bufs"]   # free the device buffers
 
     # --- warp (quad pages grouped by (input shape, target shape): one
     # batched dispatch per group reading the device-resident stack; the
     # warped pages STAY on device for the post-warp program) ---
-    pages: list = [None] * len(inputs)
+    pages: list = [None] * state["n"]
     warp_groups: Dict[tuple, list] = {}
     for i, rgb in enumerate(rgbs):
         if rgb is None:
@@ -846,13 +905,16 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
             # batched device warp: all-or-nothing dispatch, systemic
             for i in good:
                 metas[i] = {"error": str(e)}
+    state["pages"] = pages
 
+
+def _scan_postwarp_dispatch(state: dict, config: DocScanConfig, mesh) -> None:
+    """Serving phase 3 — stack each page-shape group (portrait/landscape
+    compile separately) and dispatch the fused serve program; results are
+    left as un-fetched device handles in ``state['groups']``."""
+    pages = state["pages"]
+    groups = []
     shapes = {p.shape for p in pages if p is not None}
-    results = []
-    if not shapes:
-        return metas
-    # group by shape (portrait/landscape pages compile separately)
-    out_by_idx = {}
     for shape in shapes:
         idxs = [i for i, p in enumerate(pages)
                 if p is not None and p.shape == shape]
@@ -866,10 +928,24 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
                 batch = jnp.concatenate(
                     [batch, jnp.repeat(batch[-1:], rem, axis=0)], axis=0)
             batch = shard_batch(batch, mesh)
-        clean, angles, oflow = _post_warp_serve_host(batch, config)
+        out = docscan_post_warp_batch_serve(batch, config)
+        groups.append((idxs, n_real, int(batch.shape[0]),
+                       int(batch.shape[1]), int(batch.shape[2]), out))
+    state["groups"] = groups
+    del state["pages"], state["dev_stacks"]   # free the device stacks
+
+
+def _scan_fetch(state: dict) -> list:
+    """Serving phase 4 — fetch each group's packed result buffer (the
+    only blocking transfer) and build the per-image result dicts."""
+    metas = state["metas"]
+    out_by_idx = {}
+    for idxs, n_real, b_pad, h, w, out in state["groups"]:
+        clean, angles, oflow = _serve_parse(out, b_pad, h, w)
         clean, oflow = clean[:n_real], oflow[:n_real]
         for j, i in enumerate(idxs):
             out_by_idx[i] = (clean[j], bool(oflow[j]))
+    results = []
     for i, meta in enumerate(metas):
         if "error" in meta:
             results.append(meta)
@@ -878,3 +954,43 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
             results.append({**meta, "binary": binary,
                             "deskew_overflow": oflow_i})
     return results
+
+
+def scan_stream(batches, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
+                mesh=None, fallback_common_shape: bool = False):
+    """Pipelined serving over a stream of batches (generator). Yields
+    scan_batch's result list for each input batch, in order, with
+    identical per-image semantics — but schedules the four serving phases
+    across batches so host work and device compute overlap:
+
+        dispatch localize(i)          # device starts batch i
+        dispatch post-warp(i-1)       # queued behind localize(i)
+        fetch localize buffer(i)      # waits ONLY for localize(i)
+        host quad fit + solves(i)     # overlaps post-warp(i-1) on device
+        fetch results(i-2)            # long completed: transfer only
+
+    The overlapped work is exactly what dominates small-page serve latency
+    in this environment (BASELINE.md e2e note): the host contour walk /
+    homography solves and the PIL decode + upload of the next batch hide
+    under the in-flight fused post-warp program, and the device never
+    idles between batches. At most two batches are in flight plus one
+    being prepared (bounded device memory). Single-batch callers should
+    use scan_batch; a stream of one batch degenerates to it exactly.
+    """
+    from collections import deque
+    ready = None          # quad fit done, post-warp not yet dispatched
+    inflight = deque()    # post-warp dispatched, results not fetched
+    for inputs in batches:
+        state = _scan_load_localize(inputs, config)
+        if ready is not None:
+            _scan_postwarp_dispatch(ready, config, mesh)
+            inflight.append(ready)
+        _scan_quad_fit(state, config, fallback_common_shape)
+        while len(inflight) > 1:
+            yield _scan_fetch(inflight.popleft())
+        ready = state
+    if ready is not None:
+        _scan_postwarp_dispatch(ready, config, mesh)
+        inflight.append(ready)
+    while inflight:
+        yield _scan_fetch(inflight.popleft())
