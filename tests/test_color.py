@@ -66,9 +66,17 @@ class TestHSV:
         assert maxdiff(cv2.cvtColor(img, cv2.COLOR_RGB2HSV), color.rgb_to_hsv(img)) == 0
 
     def test_inverse_close(self, rng):
+        # this cv2 build truncates the f32 result on the 8u path; matching
+        # that, the full 180x256x256 grid disagrees at only 5e-5 of entries
+        # (op-order/FMA boundary cases), max 1 LSB. cvRound-style rounding
+        # would disagree at 33%.
         img = rand_img(rng)
         img[..., 0] = img[..., 0] % 181  # valid hue range
-        assert maxdiff(cv2.cvtColor(img, cv2.COLOR_HSV2RGB), color.hsv_to_rgb(img)) <= 1
+        ref = cv2.cvtColor(img, cv2.COLOR_HSV2RGB)
+        got = np.asarray(color.hsv_to_rgb(img))
+        d = np.abs(got.astype(int) - ref.astype(int))
+        assert d.max() <= 1
+        assert (d > 0).mean() < 5e-4
 
 
 class TestLab:

@@ -149,7 +149,11 @@ def hsv_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
     b = pick([1, 1, 3, 0, 0, 2])
     g = pick([3, 0, 0, 2, 1, 1])
     r = pick([0, 2, 1, 1, 3, 0])
-    return saturate_u8(jnp.stack([r, g, b], axis=-1) * 255.0)
+    # this cv2 5.0 build TRUNCATES the f32 result on the 8u path (measured
+    # on the full 180x256x256 grid: floor disagrees at 5e-5 of entries —
+    # op-order/FMA boundary cases — where cvRound disagreed at 33%)
+    x = jnp.stack([r, g, b], axis=-1) * 255.0
+    return jnp.clip(jnp.floor(x), 0, 255).astype(jnp.uint8)
 
 
 def hsv_to_bgr(img: jnp.ndarray) -> jnp.ndarray:

@@ -29,6 +29,7 @@ from tpuimage.ops.filters import gaussian_blur_u8
 from tpuimage.ops.bilateral import bilateral_filter
 from tpuimage.ops.nlm import nlm_denoise_colored
 from tpuimage.ops.histogram import clahe
+from tpuimage.ops.lut import lut_lookup_u8
 from tpuimage.ops import color as colorops
 from tpuimage.ops.arith import in_range, normalize_minmax, add_weighted
 from tpuimage.ops.morphology import (structuring_element, morph_open, dilate,
@@ -109,9 +110,17 @@ def enhance_details(rgb: jnp.ndarray, amount: float = 1.0) -> jnp.ndarray:
 
 
 def adjust_saturation(rgb: jnp.ndarray, saturation: float = 1.0) -> jnp.ndarray:
-    """FaceEnhancement.py:235-249 (clip+truncate on S)."""
+    """FaceEnhancement.py:235-249 (clip+truncate on S).
+
+    The reference multiplies in numpy FLOAT64 before truncating; an f32
+    product truncates differently wherever s*saturation is near-integer
+    (s % 5 == 0 at saturation 1.2 — 28% of this portrait's S plane, the
+    oracle test caught it). ``saturation`` is static under jit, so the
+    exact f64 math is a host-built 256-entry LUT."""
     hsv = colorops.rgb_to_hsv(rgb)
-    s = _trunc_u8(f32(hsv[..., 1]) * saturation)
+    table = np.clip(np.arange(256, dtype=np.float64) * saturation,
+                    0, 255).astype(np.uint8)
+    s = lut_lookup_u8(jnp.asarray(table), hsv[..., 1])
     hsv2 = jnp.stack([hsv[..., 0], s, hsv[..., 2]], axis=-1)
     return colorops.hsv_to_rgb(hsv2)
 
@@ -220,8 +229,11 @@ def face_post_eyes(rgb: jnp.ndarray, mask: jnp.ndarray,
     """
     x = rgb
     if variant == "gui":
-        if noise_type == "gaussian":
-            x = adjust_saturation(x, COLOR_SATURATION)
+        # AI_classification.py:750: val_sat = 1.2 if gaussian else 1.0 —
+        # sat 1.0 is NOT a no-op (u8 HSV round trip quantizes H/S), so the
+        # call must run either way
+        x = adjust_saturation(
+            x, COLOR_SATURATION if noise_type == "gaussian" else 1.0)
     else:
         x = adjust_saturation(x, COLOR_SATURATION)
     x = apply_warmth(x, 15.0)
