@@ -91,6 +91,8 @@ def main():
             lambda im: canny(colorops.rgb_to_gray(im), 50, 150))(b))),
         ("canny_stacked", lambda b: tok(canny_batch(
             jax.vmap(colorops.rgb_to_gray)(b), 50, 150))),
+        ("canny_st_lscan", lambda b: tok(canny_batch(
+            jax.vmap(colorops.rgb_to_gray)(b), 50, 150, impl="linescan"))),
         ("canny+hough", lambda b: tok(jax.vmap(
             lambda im: hough_lines(canny(colorops.rgb_to_gray(im), 50, 150),
                                    threshold=150, max_lines=256,
@@ -104,6 +106,8 @@ def main():
         ("cues_pack4lo32", sched(theta_pack=4, vote_lo=32)),
         ("cues_st_pack2", sched(canny_impl="stacked", theta_pack=2)),
         ("cues_st_p4l32", sched(canny_impl="stacked", theta_pack=4,
+                                vote_lo=32)),
+        ("cues_ls_p4l32", sched(canny_impl="stacked_linescan", theta_pack=4,
                                 vote_lo=32)),
     ]
     for name, fn in stages:

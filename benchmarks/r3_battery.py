@@ -159,6 +159,14 @@ def sec_vote():
             # with chunk j's MXU dot without the pipelined-carry VMEM trap
             ("grid+wins r128 unroll2", dict(rows=128, theta_wins=wins,
                                             win_hi=span, unroll=2)),
+            # r4 refinement: unroll2 won the first sweep (4.24 vs 4.81
+            # serial); probe deeper unrolls at the winning rows=128
+            ("grid+wins r128 unroll3", dict(rows=128, theta_wins=wins,
+                                            win_hi=span, unroll=3)),
+            ("grid+wins r128 unroll4", dict(rows=128, theta_wins=wins,
+                                            win_hi=span, unroll=4)),
+            ("grid+wins r128 unroll6", dict(rows=128, theta_wins=wins,
+                                            win_hi=span, unroll=6)),
             ("grid+wins r64 unroll2", dict(rows=64, theta_wins=wins,
                                            win_hi=span, unroll=2)),
             ("grid+wins r64 unroll4", dict(rows=64, theta_wins=wins,
@@ -376,6 +384,66 @@ def sec_votescale():
                   f"{str(e)[:300]}", flush=True)
 
 
+def sec_stagescale():
+    """Per-stage batch scaling 8/16/32 — pinpoints the fused program's
+    batch-32 regression (r4 battery: 637/632/507 MP/s at b8/16/32 while
+    the vote kernel alone scales linearly). Times each XLA block of the
+    fused program in isolation at each batch size; the block whose
+    ms/img grows at b32 is the culprit."""
+    from tpuimage.pipelines import docscan
+    from tpuimage.ops.edges import canny
+    from tpuimage.ops.hough import band_compact_coords
+    from PIL import Image
+    with Image.open("/root/reference/public/DIP test/document1.jpeg") as im:
+        page = np.asarray(im.convert("RGB").resize((849, 1200),
+                                                   Image.BILINEAR),
+                          dtype=np.uint8)
+    cfg = docscan.GUI_DOCUMENT_CONFIG
+    batch8 = jnp.asarray(np.broadcast_to(page, (8,) + page.shape).copy())
+    weighted8 = jnp.asarray(np.asarray(jax.jit(
+        lambda b: docscan.docscan_post_warp_batch(b, cfg)["weighted"])(batch8)))
+    h, w = int(weighted8.shape[1]), int(weighted8.shape[2])
+    k = min(max(131072, (h * w * 3) // 16), 524288)
+
+    def perturb_u8(b_, tok):
+        return b_.at[:, 0, 0].set((tok % 251).astype(jnp.uint8))
+
+    def perturb_rgb(b_, tok):
+        return b_.at[:, 0, 0, 0].set((tok % 251).astype(jnp.uint8))
+
+    stages = {
+        "prechain": (
+            lambda b: sum(v.astype(jnp.int32).sum() for v in jax.vmap(
+                lambda im_: docscan._pre_deskew_stages(im_, cfg))(b).values()),
+            "rgb"),
+        "canny": (
+            lambda b: jax.vmap(lambda g: canny(
+                g, cfg.canny_low, cfg.canny_high)
+                .astype(jnp.int32).sum())(b).sum(),
+            "gray"),
+        "compact": (
+            lambda b: jax.vmap(lambda e: sum(
+                x.sum().astype(jnp.int32)
+                for x in band_compact_coords(e, k)))(b).sum(),
+            "edges"),
+    }
+    edges8 = jnp.asarray(np.asarray(jax.jit(jax.vmap(
+        lambda g: canny(g, cfg.canny_low, cfg.canny_high)))(weighted8)))
+    inputs = {"rgb": batch8, "gray": weighted8, "edges": edges8}
+    for name, (op, kind) in stages.items():
+        for bsz in (8, 16, 32):
+            reps = -(-bsz // 8)
+            inp = jnp.concatenate([inputs[kind]] * reps, axis=0)[:bsz]
+            try:
+                dt = chained(op, inp,
+                             perturb_rgb if kind == "rgb" else perturb_u8)
+                print(f"stagescale[{name:8s} b{bsz:<2d}] {dt*1e3:7.2f} ms "
+                      f"({dt/bsz*1e3:5.2f} ms/img)", flush=True)
+            except Exception as e:
+                print(f"stagescale[{name:8s} b{bsz:<2d}] FAILED: "
+                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+
+
 def sec_roofline():
     edges = edge_batch()
     e0 = np.asarray(edges[0] > 0)
@@ -402,6 +470,7 @@ SECTIONS = {"compact": sec_compact, "vote": sec_vote, "canny": sec_canny,
             "fused": lambda: sec_fused((8,)),
             "scaling": lambda: sec_fused((8, 16, 32)),
             "votescale": sec_votescale,
+            "stagescale": sec_stagescale,
             "prechain": sec_prechain,
             "morphseq": sec_morphseq,
             "roofline": sec_roofline}

@@ -146,6 +146,8 @@ def classify_weighted(rgb: np.ndarray) -> Tuple[str, Dict[str, float]]:
 # tests pin all of them against jax.vmap(_device_cues)):
 #   canny:      "vmap" (per-image canny under vmap) | "stacked" (one
 #               stacked-plane hysteresis fixpoint — ops.edges.canny_batch)
+#               | "stacked_linescan" (stacked plane + the log-step
+#               doubling flood — far fewer fixpoint iterations per check)
 #   theta_pack / unroll / vote_lo: the Hough vote-kernel schedule knobs
 #               (ops.hough.hough_accumulator).
 # Defaults stay on the round-3 measured path until the round-4 battery
@@ -171,6 +173,8 @@ def _device_cues_batch(stack, canny_impl: str = "vmap", theta_pack: int = 1,
     white_ratio = jnp.mean((binary == 255).astype(jnp.float32), axis=(1, 2))
     if canny_impl == "stacked":
         edges = canny_batch(gray, 50, 150)
+    elif canny_impl == "stacked_linescan":
+        edges = canny_batch(gray, 50, 150, impl="linescan")
     else:
         edges = jax.vmap(lambda g: canny(g, 50, 150))(gray)
     h, w = gray.shape[1], gray.shape[2]

@@ -168,6 +168,23 @@ def canny_pre(gray: jnp.ndarray, low: float, high: float,
     return strong, cand & ~strong
 
 
+def _shift1d(x: jnp.ndarray, s: int, axis: int, fill: bool) -> jnp.ndarray:
+    """out[i] = x[i+s] along ``axis``, out-of-range -> fill (bool arrays)."""
+    n = x.shape[axis]
+    if s == 0:
+        return x
+    if abs(s) >= n:
+        return jnp.full(x.shape, fill, dtype=x.dtype)
+    pad_shape = list(x.shape)
+    pad_shape[axis] = abs(s)
+    block = jnp.full(pad_shape, fill, dtype=x.dtype)
+    if s > 0:
+        return jnp.concatenate([lax.slice_in_dim(x, s, n, axis=axis), block],
+                               axis=axis)
+    return jnp.concatenate([block, lax.slice_in_dim(x, 0, n + s, axis=axis)],
+                           axis=axis)
+
+
 def dilate8_bool(b: jnp.ndarray) -> jnp.ndarray:
     """8-connected boolean dilation (the hysteresis growth step)."""
     p = jnp.pad(b, 1, mode="constant", constant_values=False)
@@ -195,11 +212,26 @@ def _hysteresis_fixpoint(strong: jnp.ndarray, weak: jnp.ndarray,
         # Per-prefix state (f = every pixel traversable, t = fire exits the
         # right edge); combine a(+)b = (a.f & b.f, b.t | (a.t & b.f)) — the
         # composition of monotone boolean affine maps, hence associative.
+        #
+        # Evaluated by MANUAL Hillis-Steele doubling (shift-by-2^k with
+        # identity fill, log2(n) levels of pure elementwise logic) rather
+        # than lax.associative_scan: XLA lowers associative_scan via an
+        # odd/even recursion that MATERIALIZES every level (and transposes
+        # for axis 0) — measured 11-56x slower than even the dilate
+        # schedule on real TPU (r4 battery). The doubling form is shifts +
+        # fused boolean ops, the exact shape XLA compiles well; identical
+        # scan results (same monoid, same inclusive-scan semantics).
         def _line_scan(s, trav, axis, reverse):
-            def comb(a, b):
-                return a[0] & b[0], b[1] | (a[1] & b[0])
-            _, t = lax.associative_scan(comb, (trav, s), axis=axis,
-                                        reverse=reverse)
+            n = s.shape[axis]
+            sign = 1 if reverse else -1   # gather from x-d (fwd) / x+d (bwd)
+            f, t = trav, s
+            d = 1
+            while d < n:
+                f_prev = _shift1d(f, sign * d, axis, True)
+                t_prev = _shift1d(t, sign * d, axis, False)
+                t = t | (t_prev & f)
+                f = f_prev & f
+                d *= 2
             return t & trav
 
         def _sweep(s, trav):
@@ -246,24 +278,25 @@ def canny(gray: jnp.ndarray, low: float, high: float,
     identical fixpoint — growth is monotone within weak-reachability):
       - "dilate":   8 masked 3x3 dilations per convergence check. Cheap
         per step but needs one step per chain pixel (landscape images run
-        200+ checks x 8 steps). CPU default: XLA:CPU lowers the
-        associative scans below poorly (measured 8-20x slower there).
+        200+ checks x 8 steps). DEFAULT on every backend — see below.
       - "linescan": flood through ENTIRE horizontal/vertical 4-connected
         weak runs per pass via lax.associative_scan (log2(n) combines),
         plus one masked dilation for diagonal hops. Converges in 5-21
-        checks on the same images (10-45x fewer). TPU default.
+        checks on the same images (10-45x fewer) — but each check costs
+        far more than the count advantage recovers (below).
 
-    Per-image iteration counts are content-dependent: long H/V chains
-    (landscape/night scenes, resized cue images) favor linescan (e.g.
-    IS.png 31 -> 7, sample2 200 -> 21); diagonal-heavy or already-binary
-    inputs favor dilate (document1 7 vs 11, binarized A4 page 1 vs 1,
-    noise images 2-5 vs 5-10) — docscan pins impl="dilate" at those call
-    sites. Under vmap the batch pays the MAX iteration count, which is
-    where linescan's tight bound dominates (12-image cue sweep: max 256
-    dilate checks vs 16).
+    "auto" = "dilate" everywhere, measured on BOTH backends:
+      - XLA:CPU lowers the associative scans poorly (8-20x slower).
+      - TPU v5e (r4 battery, real chip): linescan 149.7 ms vs dilate
+        2.65 ms on the 12x256x256 cue batch (56x) and 76.4 vs 6.66 ms on
+        the A4x8 page batch (11x). The full-plane log-step scans +
+        per-check transposes dwarf the 10-45x iteration-count advantage;
+        the round-3 CPU-iteration-count extrapolation that pinned
+        linescan as the TPU default was wrong on hardware.
+    linescan remains forceable for targeted measurement.
     """
     if impl == "auto":
-        impl = "dilate" if jax.default_backend() == "cpu" else "linescan"
+        impl = "dilate"
     if impl not in ("dilate", "linescan"):
         raise ValueError(f"impl must be auto|dilate|linescan, got {impl!r}")
     strong, weak = canny_pre(gray, low, high, l2_gradient)
@@ -299,7 +332,7 @@ def canny_batch(grays: jnp.ndarray, low: float, high: float,
     b, h, w = grays.shape
     assert h >= 2, "canny_batch needs H >= 2 (REFLECT_101 guard rows)"
     if impl == "auto":
-        impl = "dilate" if jax.default_backend() == "cpu" else "linescan"
+        impl = "dilate"   # measured winner on BOTH backends (see canny)
     if impl not in ("dilate", "linescan"):
         raise ValueError(f"impl must be auto|dilate|linescan, got {impl!r}")
     g = jnp.concatenate([grays[:, 1:2], grays, grays[:, h - 2:h - 1]],

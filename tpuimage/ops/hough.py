@@ -261,7 +261,7 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
                       theta_bins: int = 180,
                       max_edges: int = 0, impl: str = "auto",
                       return_overflow: bool = False,
-                      theta_pack: int = 1, unroll: int = 1,
+                      theta_pack: int = 1, unroll: int = 0,
                       vote_lo: int = 0):
     """(numrho, numtheta) vote accumulator, same binning as cv2.HoughLines
     with theta = pi/theta_bins: r = round((x cos t + y sin t)/rho) + (nr-1)/2.
@@ -285,9 +285,13 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
     theta-inner schedule; chunks per fori body; the hi/lo radix of the
     one-hot factorization, vote_lo=32 admits theta_pack=4 on small
     images — see hough_votes_pallas); identical counts on every setting,
-    ignored on the XLA path. Defaults are the measured production
-    winners; flip here after benchmarks/r3_battery.py's vote section
-    settles them.
+    ignored on the XLA path. Defaults are the r4-battery-measured winners
+    (real v5e, A4 batch 8): ``unroll=0`` auto-resolves to 2 on the
+    rows=128 grid schedule (4.24 ms vs 4.81 serial — Mosaic overlaps
+    chunk j+1's VPU one-hot build with chunk j's MXU dot) and 1
+    elsewhere; ``theta_pack`` stays 1 (pack2 measured 7.0-8.1 ms — the
+    kernel is MAC/VPU-bound, not tile-pass-bound, so packing only adds
+    one-hot width). Hardware parity for both: battery vote section.
     """
     h, w = edges.shape
     numrho = int(round(((w + h) * 2 + 1) / rho))
@@ -327,6 +331,9 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
                                or theta_pack * lo > 128
                                or theta_bins % theta_pack):
             theta_pack = 1  # page too tall for packed hi/lo rows: fall back
+        if unroll == 0:
+            # auto: measured winner (r4 battery) — see docstring
+            unroll = 2 if (rows == 128 and theta_pack == 1) else 1
         if theta_pack > 1 and rows != 128:
             unroll = 1  # the inner-pack kernel is serial-only
         acc = hough_votes_pallas(xs_t, ys_t, counts, numrho, theta_bins,
@@ -431,7 +438,7 @@ def fold_median_from_acc(acc: jnp.ndarray, threshold: int,
 def hough_line_count(edges: jnp.ndarray, threshold: int, rho: float = 1.0,
                      theta_bins: int = 180, max_lines: int = 64,
                      max_edges: int = 0, return_overflow: bool = False,
-                     theta_pack: int = 1, unroll: int = 1,
+                     theta_pack: int = 1, unroll: int = 0,
                      vote_lo: int = 0):
     """min(number of Hough peaks above threshold, max_lines) — identical to
     ``hough_lines(...)[1].sum()`` (top_k keeps exactly the positive-vote

@@ -45,11 +45,11 @@ def morphseq_stages(rgb: jnp.ndarray, impl: str = "auto"
     """Jitted core: RGB uint8 HWC -> stage dict (pyc process_morph_seq).
 
     impl: "pallas"/"xla" force a path (the kernels run interpreted off
-    TPU; tests assert bit-identical stages). "auto" currently equals
-    "xla" pending hardware parity + timing of the fused chain — the same
-    gating as the other interpret-verified kernels (CLAUDE.md runbook:
-    flip to "pallas" on TPU once `r3_battery.py morphseq` and
-    `hw_check_kernels.py morphseq` land on a live chip)."""
+    TPU; tests assert bit-identical stages). "auto" = "xla": MEASURED
+    winner on the real chip (r4 battery, batch 8 sample.jpg: xla 1.53 ms
+    = 6426 MP/s vs the fused Pallas chain's 1.90 ms — XLA's own fusion of
+    the 4-stage chain beats the hand-written band kernels here; the
+    Pallas path stays as the measured-alternative reference)."""
     from tpuimage.ops.pallas_kernels import morphseq_pallas_applicable
     on_tpu = jax.default_backend() not in ("cpu",)
     if impl == "auto":
