@@ -211,27 +211,38 @@ def profile_phases(inputs, cfg):
     print(f"phase upload      {best_up*1e3:7.1f} ms/batch "
           f"({mb:.1f} MB -> {mb/best_up:.0f} MB/s)")
 
-    names = ["load+localize(dispatch)", "quadfit+warp(dispatch)",
-             "postwarp(dispatch)", "fetch"]
-    best = [float("inf")] * 4
+    names = ["load+localize(run)", "locbuf fetch", "host quadfit",
+             "warp dispatch+run", "postwarp run", "result fetch+parse"]
+    best = [float("inf")] * len(names)
     for _ in range(3):
         t0 = time.perf_counter()
         state = docscan._scan_load_localize(inputs, cfg)
         for buf in state["loc_bufs"].values():
-            sync(buf)
+            sync(buf)   # localize program has EXECUTED; buffer on device
         t1 = time.perf_counter()
-        docscan._scan_quad_fit(state, cfg, False)
-        for p in state["pages"]:
-            if p is not None:
-                sync(p)
+        # split phase 2 by hand (mirrors _scan_quad_fit's structure)
+        host_bufs = {shape: np.asarray(buf)
+                     for shape, buf in state["loc_bufs"].items()}
         t2 = time.perf_counter()
+        quad_s = 0.0
+        for shape, buf in host_bufs.items():
+            q0 = time.perf_counter()
+            docscan._localize_parse_buf(buf, int(shape[0]), int(shape[1]),
+                                        cfg)
+            quad_s += time.perf_counter() - q0
+        t2b = t2 + quad_s
+        docscan._scan_quad_fit(state, cfg, False)   # re-runs parse + warps
+        last = [p for p in state["pages"] if p is not None]
+        if last:
+            sync(last[-1])   # queue is FIFO: one sync drains all warps
+        t3 = time.perf_counter() - quad_s - (t2 - t1)  # charge re-runs out
         docscan._scan_postwarp_dispatch(state, cfg, None)
-        for g in state["groups"]:
-            sync(g[5]["buf"])
-        t3 = time.perf_counter()
+        if state["groups"]:
+            sync(state["groups"][-1][5]["buf"])
+        t4 = time.perf_counter() - quad_s - (t2 - t1)
         docscan._scan_fetch(state)
-        t4 = time.perf_counter()
-        for i, d in enumerate(np.diff([t0, t1, t2, t3, t4])):
+        t5 = time.perf_counter() - quad_s - (t2 - t1)
+        for i, d in enumerate(np.diff([t0, t1, t2, t2b, t3, t4, t5])):
             best[i] = min(best[i], d)
     for nm, d in zip(names, best):
         print(f"phase {nm:23s} {d*1e3:7.1f} ms/batch ({d/nb*1e3:5.1f} ms/img)")

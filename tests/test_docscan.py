@@ -338,6 +338,29 @@ class TestScanBatch:
             np.testing.assert_array_equal(r["binary"],
                                           np.asarray(single["binary"]))
 
+    def test_scan_batch_tiled_warp_matches_gather(self):
+        """WARP_IMPL='tiled' (the TPU serving default) through the FULL
+        scan_batch path vs the gather warp: the warped pages differ by at
+        most the +-1-LSB float contract, so the post-warp binary may flip
+        only isolated threshold-boundary pixels."""
+        from PIL import Image
+        cfg = docscan.DocScanConfig(scale_long=400, mask_blur_ksize=15,
+                                    block_size=15)
+        with Image.open(DOC1) as im:
+            doc = np.asarray(im.convert("RGB"))
+        old = docscan.WARP_IMPL
+        try:
+            docscan.WARP_IMPL = "tiled"
+            tiled = docscan.scan_batch([doc, doc], config=cfg)
+            docscan.WARP_IMPL = "gather"
+            gather = docscan.scan_batch([doc, doc], config=cfg)
+        finally:
+            docscan.WARP_IMPL = old
+        for t, g in zip(tiled, gather):
+            assert not t.get("use_whole") and not g.get("use_whole")
+            diff = (t["binary"] != g["binary"]).mean()
+            assert diff < 0.002, diff
+
     def test_scan_stream_matches_scan_batch(self, tmp_path):
         """Pipelined scan_stream yields, per batch and in order, EXACTLY
         what scan_batch returns — including per-image error isolation,

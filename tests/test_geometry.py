@@ -77,6 +77,56 @@ class TestPerspective:
         # rare cvRound boundary flips only.
         assert d.max() <= 1 and np.mean(d > 0) < 0.005
 
+    def test_warp_tiled_matches_gather(self, img):
+        """Tiled one-hot-MXU warp vs the gather form: identical f32
+        coordinates, so differences are only the 4-term-vs-2-stage MAC
+        order at x.5 boundaries (+-1 LSB, rare); also vs cv2 directly."""
+        rng = np.random.default_rng(3)
+        quads = [
+            np.array([[10, 12], [100, 8], [110, 90], [5, 80]], np.float32),
+            np.array([[2, 2], [117, 6], [112, 93], [6, 88]], np.float32),
+            np.array([[20, 5], [105, 15], [98, 85], [12, 92]], np.float32),
+        ]
+        dst = np.array([[0, 0], [99, 0], [99, 119], [0, 119]], np.float32)
+        minvs = np.stack([
+            np.linalg.inv(geo.get_perspective_transform(q, dst))
+            for q in quads]).astype(np.float32)
+        stack = np.stack([img,
+                          rng.integers(0, 256, img.shape, np.uint8),
+                          img[::-1].copy()])
+        import jax.numpy as jnp
+        tiled = geo.warp_perspective_tiled_batch(jnp.asarray(stack), minvs,
+                                                 120, 100)
+        assert tiled is not None
+        gather = geo.warp_perspective_batch(jnp.asarray(stack),
+                                            jnp.asarray(minvs), 120, 100)
+        d = np.abs(np.asarray(tiled).astype(int)
+                   - np.asarray(gather).astype(int))
+        assert d.max() <= 1 and np.mean(d > 0) < 0.005, \
+            (d.max(), np.mean(d > 0))
+        for i, q in enumerate(quads):
+            ref = cv2.warpPerspective(
+                stack[i], cv2.getPerspectiveTransform(q, dst), (100, 120))
+            d = np.abs(ref.astype(int) - np.asarray(tiled[i]).astype(int))
+            assert d.max() <= 1 and np.mean(d > 0) < 0.005, i
+
+    def test_warp_tiled_plan_rejects_degenerate(self, img):
+        """Wide-window / degenerate homographies must return None (the
+        caller's gather fallback), never a silently-corrupt warp."""
+        import jax.numpy as jnp
+        stack = jnp.asarray(img[None])
+        # extreme downscale: a 32px output tile spans ~all of the source
+        src = np.array([[0, 0], [119, 0], [119, 89], [0, 89]], np.float32)
+        dst = np.array([[0, 0], [9, 0], [9, 9], [0, 9]], np.float32)
+        minv = np.linalg.inv(
+            geo.get_perspective_transform(src, dst))[None].astype(np.float32)
+        assert geo.warp_perspective_tiled_batch(stack, minv, 10, 10) is None
+        # near-singular homography (denominator sign change in-frame)
+        bad = np.eye(3, dtype=np.float32)
+        bad[2] = [0.1, 0.1, -5.0]
+        assert geo.warp_perspective_tiled_batch(
+            stack, bad[None], 120, 100) is None
+
     @pytest.mark.parametrize("seed", [7, 10, 26, 1234])
     def test_remap(self, seed):
         # seeds 7/10/26 hit coords where the 4-tap MAC lands within 1e-5 of
