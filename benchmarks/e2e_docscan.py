@@ -172,7 +172,12 @@ def main():
     n_batches = 6
     stream_in = [[im.copy() for im in inputs] for _ in range(n_batches)]
     for res in docscan.scan_stream(iter(stream_in[:2]), cfg):  # warm
-        assert all("binary" in r for r in res)
+        # identical inputs -> every streamed result must equal the
+        # scan_batch result bit for bit (validates the prefetch thread's
+        # dispatch interleaving on the real backend, not just on CPU)
+        for r in res:
+            assert "binary" in r
+            np.testing.assert_array_equal(r["binary"], out[0]["binary"])
     best_s = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()

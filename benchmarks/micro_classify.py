@@ -93,6 +93,8 @@ def main():
             jax.vmap(colorops.rgb_to_gray)(b), 50, 150))),
         ("canny_st_lscan", lambda b: tok(canny_batch(
             jax.vmap(colorops.rgb_to_gray)(b), 50, 150, impl="linescan"))),
+        ("canny_st_hybrid", lambda b: tok(canny_batch(
+            jax.vmap(colorops.rgb_to_gray)(b), 50, 150, impl="hybrid"))),
         ("canny+hough", lambda b: tok(jax.vmap(
             lambda im: hough_lines(canny(colorops.rgb_to_gray(im), 50, 150),
                                    threshold=150, max_lines=256,
@@ -108,6 +110,8 @@ def main():
         ("cues_st_p4l32", sched(canny_impl="stacked", theta_pack=4,
                                 vote_lo=32)),
         ("cues_ls_p4l32", sched(canny_impl="stacked_linescan", theta_pack=4,
+                                vote_lo=32)),
+        ("cues_hy_p4l32", sched(canny_impl="stacked_hybrid", theta_pack=4,
                                 vote_lo=32)),
     ]
     for name, fn in stages:

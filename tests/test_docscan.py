@@ -361,12 +361,14 @@ class TestScanBatch:
             diff = (t["binary"] != g["binary"]).mean()
             assert diff < 0.002, diff
 
-    def test_scan_stream_matches_scan_batch(self, tmp_path):
+    @pytest.mark.parametrize("prefetch", [False, True])
+    def test_scan_stream_matches_scan_batch(self, tmp_path, prefetch):
         """Pipelined scan_stream yields, per batch and in order, EXACTLY
         what scan_batch returns — including per-image error isolation,
         quad + use-whole mixes, and a trailing short batch. (The stream
-        only reorders dispatch/fetch across batches; the math is the same
-        phase functions.)"""
+        only reorders dispatch/fetch across batches — and with
+        prefetch=True runs the next batch's phase 1 on a worker thread;
+        the math is the same phase functions either way.)"""
         from PIL import Image
         cfg = docscan.DocScanConfig(scale_long=200, mask_blur_ksize=15,
                                     block_size=15)
@@ -376,7 +378,8 @@ class TestScanBatch:
         batches = [[doc, str(tmp_path / "missing.png")],
                    [flat, doc],
                    [flat]]
-        streamed = list(docscan.scan_stream(iter(batches), config=cfg))
+        streamed = list(docscan.scan_stream(iter(batches), config=cfg,
+                                            prefetch=prefetch))
         serial = [docscan.scan_batch(b, config=cfg) for b in batches]
         assert len(streamed) == len(serial) == 3
         for got_batch, want_batch in zip(streamed, serial):

@@ -61,12 +61,13 @@ class TestCanny:
         assert np.mean(ref == mine) > 0.98
 
     def test_hysteresis_impls_identical(self, doc_gray, gray):
-        # both growth schedules reach the same weak-reachability fixpoint
+        # all growth schedules reach the same weak-reachability fixpoint
         for img, lo, hi in [(doc_gray, 50, 150), (doc_gray, 30, 100),
                             (gray, 40, 120)]:
             a = np.asarray(edges.canny(img, lo, hi, impl="dilate"))
-            b = np.asarray(edges.canny(img, lo, hi, impl="linescan"))
-            assert np.array_equal(a, b)
+            for impl in ("linescan", "hybrid"):
+                b = np.asarray(edges.canny(img, lo, hi, impl=impl))
+                assert np.array_equal(a, b), impl
 
     def test_canny_bad_impl(self, gray):
         with pytest.raises(ValueError):

@@ -175,6 +175,8 @@ def _device_cues_batch(stack, canny_impl: str = "vmap", theta_pack: int = 1,
         edges = canny_batch(gray, 50, 150)
     elif canny_impl == "stacked_linescan":
         edges = canny_batch(gray, 50, 150, impl="linescan")
+    elif canny_impl == "stacked_hybrid":
+        edges = canny_batch(gray, 50, 150, impl="hybrid")
     else:
         edges = jax.vmap(lambda g: canny(g, 50, 150))(gray)
     h, w = gray.shape[1], gray.shape[2]

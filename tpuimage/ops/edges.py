@@ -204,6 +204,32 @@ def _hysteresis_fixpoint(strong: jnp.ndarray, weak: jnp.ndarray,
     schedules and their measured tradeoff are documented on ``canny``)."""
     dilate8 = dilate8_bool
 
+    if impl == "hybrid":
+        # 2 UNCONDITIONAL line-scan sweeps collapse every long H/V weak
+        # run up front (each flood crosses whole runs), then the cheap
+        # dilate schedule finishes the diagonal/zigzag residue. Growth is
+        # monotone within weak-reachability, so the fixpoint is the SAME
+        # from any seed between strong and the closure — bit-identical to
+        # both pure schedules (impl-equality test covers it).
+        def _scan(s, trav, axis, reverse):
+            n = s.shape[axis]
+            sign = 1 if reverse else -1
+            f, t = trav, s
+            d = 1
+            while d < n:
+                f_prev = _shift1d(f, sign * d, axis, True)
+                t_prev = _shift1d(t, sign * d, axis, False)
+                t = t | (t_prev & f)
+                f = f_prev & f
+                d *= 2
+            return t & trav
+        for _ in range(2):
+            trav = weak | strong
+            for ax, rev in ((1, False), (1, True), (0, False), (0, True)):
+                strong = _scan(strong, trav, ax, rev)
+            strong = strong | (weak & dilate8(strong))
+        impl = "dilate"
+
     def cond(state):
         i, s, changed = state
         return changed & (i < max_iters)
@@ -297,8 +323,9 @@ def canny(gray: jnp.ndarray, low: float, high: float,
     """
     if impl == "auto":
         impl = "dilate"
-    if impl not in ("dilate", "linescan"):
-        raise ValueError(f"impl must be auto|dilate|linescan, got {impl!r}")
+    if impl not in ("dilate", "linescan", "hybrid"):
+        raise ValueError(
+            f"impl must be auto|dilate|linescan|hybrid, got {impl!r}")
     strong, weak = canny_pre(gray, low, high, l2_gradient)
 
     h, w = gray.shape
@@ -333,8 +360,9 @@ def canny_batch(grays: jnp.ndarray, low: float, high: float,
     assert h >= 2, "canny_batch needs H >= 2 (REFLECT_101 guard rows)"
     if impl == "auto":
         impl = "dilate"   # measured winner on BOTH backends (see canny)
-    if impl not in ("dilate", "linescan"):
-        raise ValueError(f"impl must be auto|dilate|linescan, got {impl!r}")
+    if impl not in ("dilate", "linescan", "hybrid"):
+        raise ValueError(
+            f"impl must be auto|dilate|linescan|hybrid, got {impl!r}")
     g = jnp.concatenate([grays[:, 1:2], grays, grays[:, h - 2:h - 1]],
                         axis=1)                       # (B, H+2, W)
     plane = g.reshape(b * (h + 2), w)

@@ -975,7 +975,8 @@ def _scan_fetch(state: dict) -> list:
 
 
 def scan_stream(batches, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
-                mesh=None, fallback_common_shape: bool = False):
+                mesh=None, fallback_common_shape: bool = False,
+                prefetch: bool = True):
     """Pipelined serving over a stream of batches (generator). Yields
     scan_batch's result list for each input batch, in order, with
     identical per-image semantics — but schedules the four serving phases
@@ -994,21 +995,51 @@ def scan_stream(batches, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
     idles between batches. At most two batches are in flight plus one
     being prepared (bounded device memory). Single-batch callers should
     use scan_batch; a stream of one batch degenerates to it exactly.
+    ``prefetch=True`` additionally runs phase 1 (decode + upload +
+    localize dispatch) of the NEXT batch on a single worker thread while
+    the main thread does the current batch's host quad fit and result
+    parsing — the upload is the serve path's largest serial cost
+    (~20 ms/img of tunnel transfer) and PIL/numpy/ctypes all release the
+    GIL, so the two genuinely overlap. Results are identical (phases of
+    different batches touch disjoint state; JAX dispatch is thread-safe).
     """
     from collections import deque
     ready = None          # quad fit done, post-warp not yet dispatched
     inflight = deque()    # post-warp dispatched, results not fetched
-    for inputs in batches:
-        state = _scan_load_localize(inputs, config)
+    ex = None
+    if prefetch:
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=1,
+                                thread_name_prefix="scan_stream_load")
+    try:
+        it = iter(batches)
+
+        def _next_state():
+            """Phase 1 of the next batch, possibly on the worker."""
+            try:
+                inputs = next(it)
+            except StopIteration:
+                return None
+            if ex is None:
+                return _scan_load_localize(inputs, config)
+            return ex.submit(_scan_load_localize, inputs, config)
+
+        pending = _next_state()
+        while pending is not None:
+            state = pending.result() if ex is not None else pending
+            pending = _next_state()   # overlaps everything below
+            if ready is not None:
+                _scan_postwarp_dispatch(ready, config, mesh)
+                inflight.append(ready)
+            _scan_quad_fit(state, config, fallback_common_shape)
+            while len(inflight) > 1:
+                yield _scan_fetch(inflight.popleft())
+            ready = state
         if ready is not None:
             _scan_postwarp_dispatch(ready, config, mesh)
             inflight.append(ready)
-        _scan_quad_fit(state, config, fallback_common_shape)
-        while len(inflight) > 1:
+        while inflight:
             yield _scan_fetch(inflight.popleft())
-        ready = state
-    if ready is not None:
-        _scan_postwarp_dispatch(ready, config, mesh)
-        inflight.append(ready)
-    while inflight:
-        yield _scan_fetch(inflight.popleft())
+    finally:
+        if ex is not None:
+            ex.shutdown(wait=False)
