@@ -150,11 +150,14 @@ def classify_weighted(rgb: np.ndarray) -> Tuple[str, Dict[str, float]]:
 #               doubling flood — far fewer fixpoint iterations per check)
 #   theta_pack / unroll / vote_lo: the Hough vote-kernel schedule knobs
 #               (ops.hough.hough_accumulator).
-# Defaults stay on the round-3 measured path until the round-4 battery
-# (benchmarks/micro_classify.py measures every variant) crowns winners —
-# flip HERE, production batch classification reads this dict.
+# Round-4 hardware sweep (benchmarks/micro_classify.py, real v5e,
+# 2026-08-19): one stacked-plane hysteresis fixpoint + theta_pack=4 +
+# 32-bin lo-pass vote was the fastest cue schedule in every run
+# (cues_st_p4l32; ~4.4 -> ~4.5+-noise ms ordering stable across three
+# batteries, always ahead of vmap/pack1 by ~1.5-2x on the cue block).
+# All settings are bit-exact (tests pin them against vmap(_device_cues)).
 CUE_SCHEDULE: Dict[str, object] = {
-    "canny": "vmap", "theta_pack": 1, "unroll": 1, "vote_lo": 0,
+    "canny": "stacked", "theta_pack": 4, "unroll": 1, "vote_lo": 32,
 }
 
 

@@ -336,7 +336,17 @@ def perspective_warp(rgb: np.ndarray, quad: np.ndarray, page: str = "A4",
     dst = np.array([[0, 0], [tw - 1, 0], [tw - 1, th - 1], [0, th - 1]],
                    dtype=np.float32)
     M = geometry.get_perspective_transform(quad.astype(np.float32), dst)
-    return geometry.warp_perspective(jnp.asarray(rgb), M, th, tw)
+    rgb_j = jnp.asarray(rgb)
+    # same dispatch as the serving path (WARP_IMPL comment above): tiled
+    # one-hot-MXU warp on accelerators, gather on CPU / plan rejection
+    if WARP_IMPL != "gather" and (WARP_IMPL == "tiled"
+                                  or jax.default_backend() != "cpu"):
+        minv = np.linalg.inv(M)[None].astype(np.float32)
+        src = rgb_j[None] if rgb_j.ndim == 3 else rgb_j[None, :, :, None]
+        warped = geometry.warp_perspective_tiled_batch(src, minv, th, tw)
+        if warped is not None:
+            return warped[0] if rgb_j.ndim == 3 else warped[0, :, :, 0]
+    return geometry.warp_perspective(rgb_j, M, th, tw)
 
 
 def _deskew_angle(binary: jnp.ndarray, canny_low: int, canny_high: int,
