@@ -43,10 +43,15 @@ def main():
 
     triv = jax.jit(lambda b: b.astype(jnp.int32)[0, 0, 0, 0])
     int(np.asarray(triv(stack)))
-    t0 = time.perf_counter()
-    for _ in range(5):
+    # min-of-7, NOT mean: one slow tunnel round trip inflates a mean RTT
+    # and every (t - rtt)/REPS below goes negative/undercounted (the
+    # 2026-08-19 12:07 sweep measured rtt 48.5 vs a true ~30 ms that way).
+    rtts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
         int(np.asarray(triv(stack)))
-    rtt = (time.perf_counter() - t0) / 5
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
     print(f"rtt {rtt*1e3:.2f} ms")
 
     def chained(op):

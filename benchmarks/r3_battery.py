@@ -222,7 +222,7 @@ def sec_canny():
     def perturb(b_, tok):
         return b_.at[:, 0, :].set((tok % 251).astype(jnp.uint8))
 
-    for impl in ("dilate", "linescan", "hybrid"):
+    for impl in ("dilate", "linescan", "hybrid", "bitpack"):
         def op(gb, impl=impl):
             return jax.vmap(lambda g: canny(g, 50, 150, impl=impl)
                             .astype(jnp.int32).sum())(gb).sum()
@@ -244,7 +244,7 @@ def sec_canny():
     batch = jnp.asarray(np.broadcast_to(page, (BATCH,) + page.shape).copy())
     weighted = jnp.asarray(np.asarray(jax.jit(
         lambda b: docscan.docscan_post_warp_batch(b, cfg)["weighted"])(batch)))
-    for impl in ("dilate", "linescan", "hybrid"):
+    for impl in ("dilate", "linescan", "hybrid", "bitpack"):
         def op(gb, impl=impl):
             return jax.vmap(lambda g: canny(g, cfg.canny_low, cfg.canny_high,
                                             impl=impl)

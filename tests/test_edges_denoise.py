@@ -65,7 +65,7 @@ class TestCanny:
         for img, lo, hi in [(doc_gray, 50, 150), (doc_gray, 30, 100),
                             (gray, 40, 120)]:
             a = np.asarray(edges.canny(img, lo, hi, impl="dilate"))
-            for impl in ("linescan", "hybrid"):
+            for impl in ("linescan", "hybrid", "bitpack"):
                 b = np.asarray(edges.canny(img, lo, hi, impl=impl))
                 assert np.array_equal(a, b), impl
 

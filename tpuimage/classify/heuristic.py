@@ -150,14 +150,17 @@ def classify_weighted(rgb: np.ndarray) -> Tuple[str, Dict[str, float]]:
 #               doubling flood — far fewer fixpoint iterations per check)
 #   theta_pack / unroll / vote_lo: the Hough vote-kernel schedule knobs
 #               (ops.hough.hough_accumulator).
-# Round-4 hardware sweep (benchmarks/micro_classify.py, real v5e,
-# 2026-08-19): one stacked-plane hysteresis fixpoint + theta_pack=4 +
-# 32-bin lo-pass vote was the fastest cue schedule in every run
-# (cues_st_p4l32; ~4.4 -> ~4.5+-noise ms ordering stable across three
-# batteries, always ahead of vmap/pack1 by ~1.5-2x on the cue block).
+# Round-4 hardware sweeps (benchmarks/micro_classify.py, real v5e,
+# 2026-08-19). The bitpacked hysteresis (ops.edges, "auto" on TPU) made
+# the canny block nearly free (2.6 -> 0.25 ms on the 12-image cue batch),
+# which FLIPPED the canny lever: the stacked-plane fixpoint's win was
+# amortizing hysteresis iterations across the batch, and with iterations
+# this cheap its guard-row plumbing only adds cost (0.30 vs 0.25 ms).
+# Winner: plain vmap canny + theta_pack=4 + 32-bin lo-pass vote =
+# 2.18 ms = 331 MP/s on the cue block (the 20x bar is 242 MP/s).
 # All settings are bit-exact (tests pin them against vmap(_device_cues)).
 CUE_SCHEDULE: Dict[str, object] = {
-    "canny": "stacked", "theta_pack": 4, "unroll": 1, "vote_lo": 32,
+    "canny": "vmap", "theta_pack": 4, "unroll": 1, "vote_lo": 32,
 }
 
 

@@ -9,8 +9,8 @@ non-maximum suppression is evaluated densely with the same integer sector
 tests as OpenCV (TG22 = tan(22.5deg) in Q15), and the hysteresis flood —
 sequential BFS in OpenCV — becomes a bounded fixpoint inside
 ``lax.while_loop`` with a backend-dispatched growth schedule: masked 3x3
-dilations on CPU, segmented line-scan propagation (associative_scan over
-whole weak runs) on TPU. See ``canny`` for the measured tradeoff.
+dilations on CPU, uint32 row-bitboards (32 rows per lane word, growth as
+pure bit ops) on TPU. See ``canny`` for the measured tradeoff.
 """
 from __future__ import annotations
 
@@ -197,11 +197,81 @@ def dilate8_bool(b: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def _pack_rows_u32(b: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(R, W) bool -> (g, W) uint32 bitboard: bit k of word y is row
+    32*y + k (rows >= R pack as False)."""
+    r, w = b.shape
+    pad = g * 32 - r
+    if pad:
+        b = jnp.concatenate(
+            [b, jnp.zeros((pad, w), b.dtype)], axis=0)
+    shifted = (b.reshape(g, 32, w).astype(jnp.uint32)
+               << jnp.arange(32, dtype=jnp.uint32)[None, :, None])
+    return lax.reduce(shifted, np.uint32(0), lax.bitwise_or, (1,))
+
+
+def _unpack_rows_u32(p: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Inverse of :func:`_pack_rows_u32` -> (r, W) bool."""
+    g, w = p.shape
+    bits = ((p[:, None, :]
+             >> jnp.arange(32, dtype=jnp.uint32)[None, :, None])
+            & jnp.uint32(1))
+    return bits.reshape(g * 32, w)[:r].astype(jnp.bool_)
+
+
+# Growth steps per convergence check in the bitpacked schedule: steps are
+# ~12 elementwise u32 ops on a 32x-smaller array, so overshooting the
+# fixpoint is nearly free while every check is a full-array reduction.
+_BITPACK_STEPS_PER_CHECK = 16
+
+
+def _hysteresis_bitpacked(strong: jnp.ndarray, weak: jnp.ndarray,
+                          max_iters: int) -> jnp.ndarray:
+    """The hysteresis fixpoint on uint32 row-bitboards: 32 plane rows live
+    in the bits of one lane word, so a 3x3 boolean dilation is 2 bit
+    shifts + 2 word-carry shifts + 2 lane shifts + ORs on a 32x-smaller
+    array (full 128-lane utilization is preserved because packing is
+    along H). The growth step `new = s | (weak & dilate8(s))` is pure
+    AND/OR, so it is computed directly in the packed domain; the fixpoint
+    (monotone weak-reachability closure) is bit-identical to the
+    unpacked schedules."""
+    r, w = strong.shape
+    g = -(-r // 32)
+    sp = _pack_rows_u32(strong, g)
+    wp = _pack_rows_u32(weak, g)
+    zero = np.uint32(0)
+
+    def grow(p):
+        # plane-row neighbours: bit shifts with carries across word rows
+        dn = (p << 1) | (_shift1d(p, -1, 0, zero) >> 31)   # in[r-1]
+        up = (p >> 1) | (_shift1d(p, 1, 0, zero) << 31)    # in[r+1]
+        v = p | up | dn
+        # lane (column) neighbours, then 3x3 OR = hOR(vOR)
+        return v | _shift1d(v, 1, 1, zero) | _shift1d(v, -1, 1, zero)
+
+    def cond(state):
+        i, s, changed = state
+        return changed & (i < max_iters)
+
+    def body(state):
+        i, s, _ = state
+        new = s
+        for _ in range(_BITPACK_STEPS_PER_CHECK):
+            new = new | (wp & grow(new))
+        return i + 1, new, jnp.any(new != s)
+
+    _, sp, _ = lax.while_loop(cond, body,
+                              (jnp.int32(0), sp, jnp.bool_(True)))
+    return _unpack_rows_u32(sp, r)
+
+
 def _hysteresis_fixpoint(strong: jnp.ndarray, weak: jnp.ndarray,
                          impl: str, max_iters: int) -> jnp.ndarray:
     """Grow ``strong`` through 8-connected ``weak`` to the reachability
     fixpoint (shared by :func:`canny` and :func:`canny_batch`; the growth
     schedules and their measured tradeoff are documented on ``canny``)."""
+    if impl == "bitpack":
+        return _hysteresis_bitpacked(strong, weak, max_iters)
     dilate8 = dilate8_bool
 
     if impl == "hybrid":
@@ -300,32 +370,38 @@ def canny(gray: jnp.ndarray, low: float, high: float,
     magnitude -> OpenCV's integer sector NMS -> double threshold ->
     hysteresis to the weak-reachability fixpoint. Returns uint8 0/255.
 
-    ``impl`` selects the hysteresis growth schedule (both converge to the
+    ``impl`` selects the hysteresis growth schedule (all converge to the
     identical fixpoint — growth is monotone within weak-reachability):
+      - "bitpack":  32 plane rows packed into uint32 lane words; each
+        growth step is ~12 bitwise ops on a 32x-smaller array
+        (_hysteresis_bitpacked). DEFAULT on accelerators.
       - "dilate":   8 masked 3x3 dilations per convergence check. Cheap
         per step but needs one step per chain pixel (landscape images run
-        200+ checks x 8 steps). DEFAULT on every backend — see below.
+        200+ checks x 8 steps). DEFAULT on CPU.
       - "linescan": flood through ENTIRE horizontal/vertical 4-connected
-        weak runs per pass via lax.associative_scan (log2(n) combines),
-        plus one masked dilation for diagonal hops. Converges in 5-21
-        checks on the same images (10-45x fewer) — but each check costs
-        far more than the count advantage recovers (below).
+        weak runs per pass via doubling scans, plus one masked dilation
+        for diagonal hops. Converges in 5-21 checks on the same images
+        (10-45x fewer) — but each check costs far more than the count
+        advantage recovers.
 
-    "auto" = "dilate" everywhere, measured on BOTH backends:
-      - XLA:CPU lowers the associative scans poorly (8-20x slower).
-      - TPU v5e (r4 battery, real chip): linescan 149.7 ms vs dilate
-        2.65 ms on the 12x256x256 cue batch (56x) and 76.4 vs 6.66 ms on
-        the A4x8 page batch (11x). The full-plane log-step scans +
-        per-check transposes dwarf the 10-45x iteration-count advantage;
-        the round-3 CPU-iteration-count extrapolation that pinned
-        linescan as the TPU default was wrong on hardware.
-    linescan remains forceable for targeted measurement.
+    "auto", measured on BOTH backends (r4 battery + bitpack session,
+    real v5e):
+      - TPU: bitpack 0.05 ms vs dilate 2.62 vs hybrid 2.23 on the
+        12x256x256 stacked cue batch; 1.28 vs 7.17 ms on the A4x8 page
+        batch. linescan loses everywhere on TPU (149.7 ms on the cue
+        batch — full-plane log-step scans + per-check transposes dwarf
+        the iteration-count advantage; the round-3 CPU-iteration-count
+        extrapolation was wrong on hardware).
+      - XLA:CPU: dilate 114 ms vs bitpack 196 ms on the cue batch (CPU
+        lowers the shift/carry chains poorly) and 8-20x faster than
+        linescan — "auto" = dilate there.
+    Every schedule remains forceable for targeted measurement.
     """
     if impl == "auto":
-        impl = "dilate"
-    if impl not in ("dilate", "linescan", "hybrid"):
+        impl = "dilate" if jax.default_backend() == "cpu" else "bitpack"
+    if impl not in ("dilate", "linescan", "hybrid", "bitpack"):
         raise ValueError(
-            f"impl must be auto|dilate|linescan|hybrid, got {impl!r}")
+            f"impl must be auto|dilate|linescan|hybrid|bitpack, got {impl!r}")
     strong, weak = canny_pre(gray, low, high, l2_gradient)
 
     h, w = gray.shape
@@ -359,10 +435,11 @@ def canny_batch(grays: jnp.ndarray, low: float, high: float,
     b, h, w = grays.shape
     assert h >= 2, "canny_batch needs H >= 2 (REFLECT_101 guard rows)"
     if impl == "auto":
-        impl = "dilate"   # measured winner on BOTH backends (see canny)
-    if impl not in ("dilate", "linescan", "hybrid"):
+        # backend-dispatched measured winner (see canny)
+        impl = "dilate" if jax.default_backend() == "cpu" else "bitpack"
+    if impl not in ("dilate", "linescan", "hybrid", "bitpack"):
         raise ValueError(
-            f"impl must be auto|dilate|linescan|hybrid, got {impl!r}")
+            f"impl must be auto|dilate|linescan|hybrid|bitpack, got {impl!r}")
     g = jnp.concatenate([grays[:, 1:2], grays, grays[:, h - 2:h - 1]],
                         axis=1)                       # (B, H+2, W)
     plane = g.reshape(b * (h + 2), w)

@@ -126,12 +126,10 @@ def _localize_device(rgb: jnp.ndarray, canny_low: int, canny_high: int):
     """Device part of localize_document (DocScanner.py:78-81): Canny edges +
     deterministic Hough segments (threshold 80, minLineLength 80)."""
     gray = colorops.rgb_to_gray(rgb)
-    # impl="dilate": document photos have diagonal-heavy weak chains where
-    # the dilate schedule's 8 hops/iteration beat whole-run line scans
-    # (document1: 7 vs 11 fixpoint iterations, and a dilate body is ~3x
-    # cheaper). The line-scan default is for long H/V runs of natural
-    # scenes (classify cues: 24-256 dilate iterations vs 5-21).
-    edges = canny(gray, canny_low, canny_high, impl="dilate")
+    # impl="auto": bitpacked hysteresis on accelerators, dilate on CPU
+    # (backend-measured in ops.edges.canny — bitpack took the A4x8 canny
+    # 7.17 -> 1.28 ms on the v5e).
+    edges = canny(gray, canny_low, canny_high, impl="auto")
     segs, ok = hough_lines_p_det(edges, threshold=80, min_line_length=80.0,
                                  max_lines=128)
     return edges, segs, ok
@@ -361,14 +359,12 @@ def _deskew_angle(binary: jnp.ndarray, canny_low: int, canny_high: int,
     angle is an undercount statistic (never observed on real pages —
     budgets are ~1.5-9x above measured Canny densities — but dense
     synthetic inputs now fail loudly instead of deskewing wrong)."""
-    # impl="dilate": the input is an already-binarized page, so nearly
-    # every Canny candidate clears the high threshold and the hysteresis
-    # fixpoint converges in ONE body iteration (measured on the A4
-    # weighted binary — both schedules ran exactly 1). The line-scan
-    # schedule's win is fewer iterations on long weak chains of natural
-    # images; at equal iterations its 8 associative scans per body only
-    # add cost.
-    edges = canny(binary, canny_low, canny_high, impl="dilate")
+    # impl="auto": bitpacked hysteresis on accelerators, dilate on CPU.
+    # The input is an already-binarized page, so the fixpoint converges
+    # in ONE body iteration either way — but even there the bitpack body
+    # (bit ops on a 32x-smaller array) measured 5.6x cheaper than the
+    # dilate body's 64 full-plane shifted ORs (A4x8: 1.28 vs 7.17 ms).
+    edges = canny(binary, canny_low, canny_high, impl="auto")
     med, overflow = hough_fold_median_angle(edges, threshold=150,
                                             return_overflow=True,
                                             max_edges=max_edges)
