@@ -123,12 +123,16 @@ def bench_cpu_reference(page: np.ndarray) -> float:
                               borderMode=cv2.BORDER_REPLICATE)
 
     run_once(page)  # warm cv2's thread pool
-    n = 3
-    t0 = time.perf_counter()
-    for _ in range(n):
+    # min-of-5 (NOT a mean): this 1-core host's cv2 timings vary ±2x with
+    # thread-pool/THP noise, and a single slow run dragging a mean down
+    # INFLATES vs_baseline. The fastest CPU run is the conservative
+    # denominator (matches the BASELINE.md reporting stance).
+    dt = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
         run_once(page)
-    dt = time.perf_counter() - t0
-    return (page.shape[0] * page.shape[1] / 1e6) * n / dt
+        dt = min(dt, time.perf_counter() - t0)
+    return (page.shape[0] * page.shape[1] / 1e6) / dt
 
 
 def _claim_device_or_die(timeout_s: int = 900) -> None:
