@@ -260,8 +260,12 @@ def _hysteresis_bitpacked(strong: jnp.ndarray, weak: jnp.ndarray,
             new = new | (wp & grow(new))
         return i + 1, new, jnp.any(new != s)
 
-    _, sp, _ = lax.while_loop(cond, body,
-                              (jnp.int32(0), sp, jnp.bool_(True)))
+    # init flag == True but built FROM the data so its varying-manual-axes
+    # type matches the body's flag under shard_map (runtime.spatial calls
+    # this per shard; a replicated literal True fails the while_loop carry
+    # type check there — same pvary discipline as _hysteresis_sharded)
+    init_changed = jnp.any(sp >= 0) | jnp.bool_(True)
+    _, sp, _ = lax.while_loop(cond, body, (jnp.int32(0), sp, init_changed))
     return _unpack_rows_u32(sp, r)
 
 
@@ -356,8 +360,10 @@ def _hysteresis_fixpoint(strong: jnp.ndarray, weak: jnp.ndarray,
                 new = new | (weak & dilate8(new))
             return i + 1, new, jnp.any(new != s)
 
+    # data-derived True init flag: see _hysteresis_bitpacked's pvary note
+    init_changed = jnp.any(strong | weak) | jnp.bool_(True)
     _, strong, _ = lax.while_loop(cond, body,
-                                  (jnp.int32(0), strong, jnp.bool_(True)))
+                                  (jnp.int32(0), strong, init_changed))
     return strong
 
 

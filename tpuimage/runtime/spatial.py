@@ -211,12 +211,19 @@ def night_rgb_spatial(rgb: jnp.ndarray, mesh: Mesh,
 
 def _hysteresis_sharded(strong, weak, space_axis: str, max_iters: int):
     """Canny hysteresis to the GLOBAL weak-reachability fixpoint under
-    shard_map: 4 local masked dilations per check, then one cross-shard
-    hop via a 1-row strong-mask halo exchange; convergence is the pmax of
-    per-shard change flags. Growth is monotone within weak-reachability,
-    so any schedule (local-then-exchange included) reaches the identical
-    fixpoint the unsharded ops.edges.canny computes."""
-    from tpuimage.ops.edges import dilate8_bool
+    shard_map: each round runs the shard's LOCAL fixpoint to completion
+    (collective-free, so every device exits its inner loop independently,
+    using the backend-best schedule — bitpacked rows on TPU, dilate on
+    CPU), then one cross-shard hop via a 1-row strong-mask halo exchange;
+    convergence is the pmax of per-shard "the hop added something" flags.
+    Growth is monotone within weak-reachability, so local-closure-then-
+    exchange reaches the identical fixpoint the unsharded ops.edges.canny
+    computes, in one round per cross-shard chain crossing — the previous
+    schedule (4 local dilations per exchange) paid a ppermute+pmax every
+    ~5 pixels of chain growth; this one pays it only when growth actually
+    re-enters a neighbouring shard."""
+    from tpuimage.ops.edges import _hysteresis_fixpoint, dilate8_bool
+    local_impl = "dilate" if jax.default_backend() == "cpu" else "bitpack"
 
     def cond(state):
         i, s, changed = state
@@ -224,14 +231,12 @@ def _hysteresis_sharded(strong, weak, space_axis: str, max_iters: int):
 
     def body(state):
         i, s, _ = state
-        new = s
-        for _ in range(4):
-            new = new | (weak & dilate8_bool(new))
+        new = _hysteresis_fixpoint(s, weak, local_impl, max_iters)
         nh = halo_exchange(new, 1, space_axis, border="zero")
-        new = new | (weak & dilate8_bool(nh)[1:-1])
-        changed = lax.pmax(jnp.any(new != s).astype(jnp.int32),
+        hop = new | (weak & dilate8_bool(nh)[1:-1])
+        changed = lax.pmax(jnp.any(hop != new).astype(jnp.int32),
                            space_axis) > 0
-        return i + 1, new, changed
+        return i + 1, hop, changed
 
     # initial flag == True, built through the SAME data dependence +
     # space-pmax as the body's flag so its varying-manual-axes type
