@@ -54,15 +54,16 @@ v = float(jax.jit(lambda x: (x @ x).sum())(jnp.ones((8, 8))))
 print(f"PROBE_OK {v} {time.time()-t0:.1f}s {d}", flush=True)
 """
 
+# Default battery for a cold round. The full default r3_battery section
+# list, hwcheck parity sweep, e2e8 and classify all completed on hardware
+# 2026-08-19 (logs /tmp/hw_battery, /tmp/hw_battery2/battery.log); what
+# remains unmeasured is the stagescale batch-32 attribution, plus cheap
+# re-confirms of the headline and the b32 serve number.
 STEPS = [
-    ("battery", [sys.executable, "benchmarks/r3_battery.py"], 5400),
-    ("hwcheck", [sys.executable, "benchmarks/hw_check_kernels.py",
-                 "rank", "pack2", "blackhat", "inkmask", "fusedpre",
-                 "morphseq"], 3600),
+    ("stagescale", [sys.executable, "benchmarks/r3_battery.py",
+                    "stagescale"], 3600),
     ("bench", [sys.executable, "bench.py"], 2400),
-    ("e2e8", [sys.executable, "benchmarks/e2e_docscan.py", "8"], 2400),
     ("e2e32", [sys.executable, "benchmarks/e2e_docscan.py", "32"], 2400),
-    ("classify", [sys.executable, "benchmarks/micro_classify.py"], 2400),
 ]
 
 
