@@ -60,8 +60,8 @@ print(f"PROBE_OK {v} {time.time()-t0:.1f}s {d}", flush=True)
 # remains unmeasured is the stagescale batch-32 attribution, plus cheap
 # re-confirms of the headline and the b32 serve number.
 STEPS = [
-    ("stagescale", [sys.executable, "benchmarks/r3_battery.py",
-                    "stagescale"], 3600),
+    ("chunkscale", [sys.executable, "benchmarks/r3_battery.py",
+                    "chunkscale"], 3600),
     ("bench", [sys.executable, "bench.py"], 2400),
     ("e2e32", [sys.executable, "benchmarks/e2e_docscan.py", "32"], 2400),
 ]

@@ -444,6 +444,51 @@ def sec_stagescale():
                       f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
 
+def sec_chunkscale():
+    """Fused program at batch 32 with lax.map batch-chunking — the
+    candidate FIX for the b32 regression that stagescale attributed to
+    the pre-deskew XLA stages (fusion/layout at 32x1MP working sets).
+    chunk=0 is the current whole-batch vmap; chunk=8/16 run sequential
+    sub-batches inside one jit. 'lean8' maps a body that computes ONLY
+    the clean chain, bounding any while-loop DCE difference (the dict
+    form relies on XLA pruning dead tuple elements through lax.map)."""
+    from tpuimage.pipelines import docscan
+    from PIL import Image
+    with Image.open("/root/reference/public/DIP test/document1.jpeg") as im:
+        page = np.asarray(im.convert("RGB").resize((849, 1200),
+                                                   Image.BILINEAR),
+                          dtype=np.uint8)
+    cfg = docscan.GUI_DOCUMENT_CONFIG
+    batch = jnp.asarray(np.broadcast_to(page, (32,) + page.shape).copy())
+    mp = 32 * page.shape[0] * page.shape[1] / 1e6
+
+    def perturb(b_, tok):
+        return b_.at[:, 0, 0, 0].set((tok % 251).astype(jnp.uint8))
+
+    def lean8(b):
+        chunked = b.reshape((4, 8) + b.shape[1:])
+        clean = jax.lax.map(
+            lambda wb: docscan._post_warp_batch_body(wb, cfg)["clean"],
+            chunked)
+        return clean.astype(jnp.int32).sum()
+
+    ops = {"chunk0 ": lambda b: docscan.docscan_post_warp_batch(
+               b, cfg, chunk=0)["clean"].astype(jnp.int32).sum(),
+           "chunk8 ": lambda b: docscan.docscan_post_warp_batch(
+               b, cfg, chunk=8)["clean"].astype(jnp.int32).sum(),
+           "chunk16": lambda b: docscan.docscan_post_warp_batch(
+               b, cfg, chunk=16)["clean"].astype(jnp.int32).sum(),
+           "lean8  ": lean8}
+    for name, op in ops.items():
+        try:
+            dt = chained(op, batch, perturb)
+            print(f"chunkscale[b32 {name}] {dt*1e3:7.2f} ms  "
+                  f"{mp/dt:7.1f} MP/s", flush=True)
+        except Exception as e:
+            print(f"chunkscale[b32 {name}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+
 def sec_roofline():
     edges = edge_batch()
     e0 = np.asarray(edges[0] > 0)
@@ -471,6 +516,7 @@ SECTIONS = {"compact": sec_compact, "vote": sec_vote, "canny": sec_canny,
             "scaling": lambda: sec_fused((8, 16, 32)),
             "votescale": sec_votescale,
             "stagescale": sec_stagescale,
+            "chunkscale": sec_chunkscale,
             "prechain": sec_prechain,
             "morphseq": sec_morphseq,
             "roofline": sec_roofline}

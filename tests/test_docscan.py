@@ -216,6 +216,33 @@ class TestBatch:
         assert np.array_equal(np.asarray(batched["clean"][0]),
                               np.asarray(single["clean"]))
 
+    def test_post_warp_batch_chunked_matches_unchunked(self, doc_result):
+        """lax.map batch-chunking (the b32-regression mitigation) must be
+        bit-identical to the whole-batch vmap, including when only SOME
+        chunks take the rotation branch (the batch-level rotation cond
+        becomes per-chunk; angle==0 rotation is exact identity, so the
+        unchunked form rotating every page equals the chunked form
+        rotating one chunk)."""
+        warped = np.asarray(doc_result["warped"])[:256, :256]
+        m = cv2.getRotationMatrix2D((128.0, 128.0), 3.0, 1.0)
+        tilted = cv2.warpAffine(warped, m, (256, 256),
+                                flags=cv2.INTER_LINEAR,
+                                borderMode=cv2.BORDER_REPLICATE)
+        # chunk 0: edge-free pages (deskew angle exactly 0 — no Canny
+        # edges, no Hough lines); chunk 1: tilted text (angle != 0)
+        flat = np.full_like(warped, 255)
+        gray = np.full_like(warped, 128)
+        batch = np.stack([flat, gray, tilted, tilted[::-1]])
+        cfg = docscan.GUI_DOCUMENT_CONFIG
+        full = docscan.docscan_post_warp_batch(batch, cfg, chunk=0)
+        chunked = docscan.docscan_post_warp_batch(batch, cfg, chunk=2)
+        angles = np.asarray(full["deskew_angle"])
+        assert (angles[:2] == 0.0).all() and (angles[2:] != 0.0).any(), \
+            "fixture no longer exercises a mixed rotate/no-rotate chunk split"
+        for k in full:
+            np.testing.assert_array_equal(np.asarray(full[k]),
+                                          np.asarray(chunked[k]), err_msg=k)
+
 
 class TestScanBatch:
     def test_batch_matches_process_document(self, doc_result, tmp_path):

@@ -555,17 +555,9 @@ def docscan_post_warp(warped_rgb: jnp.ndarray, config: DocScanConfig) -> Dict[st
             "deskew_overflow": overflow}
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def docscan_post_warp_batch(warped_batch: jnp.ndarray, config: DocScanConfig):
-    """The fused post-warp program vmapped over a batch of pages (NHWC).
-
-    Unlike a plain vmap of docscan_post_warp — where lax.cond degenerates
-    to select and EVERY page pays the rotation — the deskew rotation here
-    is guarded by a BATCH-LEVEL lax.cond: when no page needs rotating (the
-    common all-clean-pages case, and always true for the degenerate golden
-    run) the whole rotation block is skipped at runtime (VERDICT round-1
-    Weak #9)."""
-    c = config
+def _post_warp_batch_body(warped_batch: jnp.ndarray, c: DocScanConfig):
+    """One fused post-warp dispatch over an NHWC batch (the body shared by
+    the whole-batch and chunked forms of docscan_post_warp_batch)."""
     pre = jax.vmap(lambda im: _pre_deskew_stages(im, c))(warped_batch)
     weighted = pre["weighted"]
     angles, overflows = jax.vmap(
@@ -581,6 +573,47 @@ def docscan_post_warp_batch(warped_batch: jnp.ndarray, config: DocScanConfig):
     clean = jax.vmap(lambda im: _morph_cleanup(im, c))(desk)
     return {**pre, "deskew": desk, "clean": clean, "deskew_angle": angles,
             "deskew_overflow": overflows}
+
+
+def _auto_batch_chunk(bsz: int) -> int:
+    """Chunk size for the fused batch program. The r4 battery measured the
+    fused program at 737/701/547 MP/s for batch 8/16/32 (stagescale
+    attributes the falloff to the pre-deskew XLA stages' fusion/layout at
+    32x1MP working sets, not any Pallas kernel), so the candidate fix is
+    running large batches as sequential batch-8 sub-programs inside one
+    jit. AUTO IS OFF (returns 0) until the chunkscale battery section
+    measures the lax.map form on hardware — flip here once it wins,
+    per the measured-winners-only default discipline (CLAUDE.md)."""
+    del bsz
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("config", "chunk"))
+def docscan_post_warp_batch(warped_batch: jnp.ndarray, config: DocScanConfig,
+                            chunk: Optional[int] = None):
+    """The fused post-warp program vmapped over a batch of pages (NHWC).
+
+    Unlike a plain vmap of docscan_post_warp — where lax.cond degenerates
+    to select and EVERY page pays the rotation — the deskew rotation here
+    is guarded by a BATCH-LEVEL lax.cond: when no page needs rotating (the
+    common all-clean-pages case, and always true for the degenerate golden
+    run) the whole rotation block is skipped at runtime (VERDICT round-1
+    Weak #9). The rotation cond is per-CHUNK when chunking is active.
+
+    chunk: images per sequential sub-dispatch inside the jit (lax.map).
+    None = auto (see _auto_batch_chunk); 0 = whole batch in one vmap.
+    Results are identical either way — chunking only bounds the working
+    set XLA fuses over, which is what regresses at batch 32.
+    """
+    c = config
+    bsz = int(warped_batch.shape[0])
+    k = _auto_batch_chunk(bsz) if chunk is None else int(chunk)
+    if k <= 0 or k >= bsz or bsz % k != 0:
+        return _post_warp_batch_body(warped_batch, c)
+    chunked = warped_batch.reshape((bsz // k, k) + warped_batch.shape[1:])
+    out = jax.lax.map(lambda wb: _post_warp_batch_body(wb, c), chunked)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((bsz,) + x.shape[2:]), out)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
