@@ -163,12 +163,45 @@ def _claim_device_or_die(timeout_s: int = 900) -> None:
         os._exit(2)
 
 
+def _tunnel_stats() -> dict:
+    """Direct tunnel health numbers so any e2e reading is diagnosable from
+    the record alone (VERDICT r4 item 1: the driver captured 0.6x serial
+    while the builder measured 1.35x, and nothing in the artifact could
+    attribute the gap — the serve path's floor is ~1 MB/img of raw RGB
+    over this tunnel, so its bandwidth IS the serial number's scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.zeros((4 << 20,), np.uint8)   # 4 MiB
+    dev = jnp.asarray(buf)                  # warm the transfer path
+    del dev
+    best_up = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = jnp.asarray(buf)
+        _ = int(np.asarray(dev[0]))         # barrier (block_until_ready lies)
+        best_up = min(best_up, time.perf_counter() - t0)
+    triv = jax.jit(lambda b: b.astype(jnp.int32)[0])
+    int(np.asarray(triv(jnp.asarray(buf[:8]))))
+    best_rtt = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        int(np.asarray(triv(jnp.asarray(buf[:8]))))
+        best_rtt = min(best_rtt, time.perf_counter() - t0)
+    mb = buf.nbytes / 1e6
+    return {"upload_mbps": round(mb / max(best_up - best_rtt, 1e-9), 1),
+            "rtt_ms": round(best_rtt * 1e3, 1)}
+
+
 def bench_e2e_serve():
     """BASELINE.json:2's SECOND metric: batch images/sec at parity over the
     FULL reference path (load -> localize -> warp -> post-warp -> fetch;
     /root/reference/DocScanner.py:262-365) via scan_batch, against the same
     chain composed from cv2 calls (benchmarks/e2e_docscan.py's harness).
-    Returns (tpu_ms_per_img, cpu_ms_per_img, stream_ms_per_img)."""
+
+    Returns a dict of attribution fields (VERDICT r4 item 1a): min-of-N on
+    BOTH sides, per-phase ms of the best serial run, pipelined-serial and
+    stream numbers, raw samples, and tunnel bandwidth/RTT."""
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "e2e_docscan",
@@ -181,34 +214,75 @@ def bench_e2e_serve():
 
     rgb = e2e.load_doc()
     inputs = [rgb.copy() for _ in range(8)]
+    n = len(inputs)
     cfg = docscan.GUI_DOCUMENT_CONFIG
     out = docscan.scan_batch(inputs, cfg)  # compile + warm
     assert all("binary" in r for r in out), [r.get("error") for r in out]
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        docscan.scan_batch(inputs, cfg)
-        best = min(best, time.perf_counter() - t0)
-    tpu_ms = best / len(inputs) * 1e3
 
+    # serial scan_batch, min-of-5, per-phase attribution of the BEST run
+    best, samples, phases = float("inf"), [], None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        st = docscan._scan_load_localize(inputs, cfg)
+        t1 = time.perf_counter()
+        docscan._scan_quad_fit(st, cfg, False)
+        t2 = time.perf_counter()
+        docscan._scan_postwarp_dispatch(st, cfg, None)
+        t3 = time.perf_counter()
+        docscan._scan_fetch(st)
+        t4 = time.perf_counter()
+        samples.append(round((t4 - t0) / n * 1e3, 1))
+        if t4 - t0 < best:
+            best = t4 - t0
+            phases = {"load_localize": round((t1 - t0) * 1e3, 1),
+                      "quad_fit_warp": round((t2 - t1) * 1e3, 1),
+                      "postwarp_dispatch": round((t3 - t2) * 1e3, 1),
+                      "fetch": round((t4 - t3) * 1e3, 1)}
+    tpu_ms = best / n * 1e3
+
+    # pipelined serial (intra-batch overlap via pipeline_chunk; compiles
+    # the sub-batch program once, excluded by the warm call)
+    docscan.scan_batch(inputs, cfg, pipeline_chunk=4)
+    best_p = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        docscan.scan_batch(inputs, cfg, pipeline_chunk=4)
+        best_p = min(best_p, time.perf_counter() - t0)
+    piped_ms = best_p / n * 1e3
+
+    # CPU reference: min-of-5 (mean-of-3 let one slow run deflate the
+    # denominator; VERDICT r4 item 1a)
     e2e.cpu_e2e_once(rgb)  # warm cv2 thread pool
-    t0 = time.perf_counter()
-    for _ in range(3):
+    cpu_best, cpu_samples = float("inf"), []
+    for _ in range(5):
+        t0 = time.perf_counter()
         e2e.cpu_e2e_once(rgb)
-    cpu_ms = (time.perf_counter() - t0) / 3 * 1e3
+        dt = time.perf_counter() - t0
+        cpu_samples.append(round(dt * 1e3, 1))
+        cpu_best = min(cpu_best, dt)
+    cpu_ms = cpu_best * 1e3
 
     # pipelined steady-state serving (scan_stream): host contour work and
     # the next batch's upload overlap the in-flight post-warp program
     n_batches = 4
     stream_in = [[im.copy() for im in inputs] for _ in range(n_batches)]
     best_s = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _res in docscan.scan_stream(iter(stream_in), cfg):
             pass
         best_s = min(best_s, time.perf_counter() - t0)
-    stream_ms = best_s / (n_batches * len(inputs)) * 1e3
-    return tpu_ms, cpu_ms, stream_ms
+    stream_ms = best_s / (n_batches * n) * 1e3
+    return {"tpu_ms": tpu_ms, "piped_ms": piped_ms, "cpu_ms": cpu_ms,
+            "stream_ms": stream_ms, "phases": phases,
+            "samples_ms": samples, "cpu_samples_ms": cpu_samples}
+
+
+# CPU reference band recorded across rounds 2-4 for the fused post-warp
+# stages on this host (BASELINE.md; cv2 thread-pool variance is ±2x, so a
+# single run's denominator can swing vs_baseline — the band makes any
+# capture self-checking from the record alone; VERDICT r4 items 5/6)
+CPU_RECORDED_BAND_MPS = (11.9, 14.5)
 
 
 def main():
@@ -220,21 +294,37 @@ def main():
     except Exception:
         cpu_mps = float("nan")
     ratio = tpu_mps / cpu_mps if cpu_mps == cpu_mps else None
+    lo, hi = CPU_RECORDED_BAND_MPS
     rec = {
         "metric": "fused_docscan_post_warp_throughput",
         "value": round(tpu_mps, 3),
         "unit": "MP/s/chip",
         "vs_baseline": round(ratio, 3) if ratio is not None else None,
+        # denominator pinned in the artifact: this run's CPU reference and
+        # the ratio against the recorded cross-round band
+        "cpu_mps": round(cpu_mps, 2) if cpu_mps == cpu_mps else None,
+        "vs_recorded_band": [round(tpu_mps / hi, 1), round(tpu_mps / lo, 1)],
     }
     # second BASELINE.json:2 metric (end-to-end serve); best-effort — the
     # headline metric above must survive any failure here
     try:
-        tpu_ms, cpu_ms, stream_ms = bench_e2e_serve()
+        rec.update(_tunnel_stats())
+    except Exception:
+        pass
+    try:
+        e = bench_e2e_serve()
+        tpu_ms, cpu_ms = e["tpu_ms"], e["cpu_ms"]
         rec["e2e_ms_per_img"] = round(tpu_ms, 1)
         rec["e2e_img_per_s"] = round(1e3 / tpu_ms, 2)
+        rec["e2e_cpu_ms_per_img"] = round(cpu_ms, 1)
         rec["e2e_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
-        rec["e2e_stream_img_per_s"] = round(1e3 / stream_ms, 2)
-        rec["e2e_stream_vs_baseline"] = round(cpu_ms / stream_ms, 2)
+        rec["e2e_piped_ms_per_img"] = round(e["piped_ms"], 1)
+        rec["e2e_piped_vs_baseline"] = round(cpu_ms / e["piped_ms"], 2)
+        rec["e2e_stream_img_per_s"] = round(1e3 / e["stream_ms"], 2)
+        rec["e2e_stream_vs_baseline"] = round(cpu_ms / e["stream_ms"], 2)
+        rec["e2e_phase_ms"] = e["phases"]
+        rec["e2e_samples_ms"] = e["samples_ms"]
+        rec["e2e_cpu_samples_ms"] = e["cpu_samples_ms"]
     except Exception:
         pass
     print(json.dumps(rec))

@@ -62,7 +62,11 @@ print(f"PROBE_OK {v} {time.time()-t0:.1f}s {d}", flush=True)
 STEPS = [
     ("chunkscale", [sys.executable, "benchmarks/r3_battery.py",
                     "chunkscale"], 3600),
-    ("bench", [sys.executable, "bench.py"], 2400),
+    ("votex", [sys.executable, "benchmarks/r3_battery.py", "votex"], 4800),
+    ("landnf", [sys.executable, "benchmarks/r3_battery.py", "landnf"], 3600),
+    ("bench1", [sys.executable, "bench.py"], 2400),
+    ("bench2", [sys.executable, "bench.py"], 2400),
+    ("bench3", [sys.executable, "bench.py"], 2400),
     ("e2e32", [sys.executable, "benchmarks/e2e_docscan.py", "32"], 2400),
 ]
 

@@ -203,6 +203,91 @@ def sec_vote():
     print("hw parity unroll2 == grid:", np.array_equal(a, c), flush=True)
 
 
+def sec_votex():
+    """Round-5 vote-kernel experiments (VERDICT r4 item 3): the kernel is
+    VPU-bound on the one-hot build (~90 compare rows per edge-theta vs
+    ~230 ns of MXU per chunk-theta), so the levers are (a) fewer/denser
+    VPU compare ops — bf16 iota compares (2x if Mosaic packs bf16
+    2/lane), balanced radix lo=40 (89 -> 80 rows) — and (b) breaking the
+    accumulator RMW chain that serializes consecutive dots (dual
+    accumulator halves, build-ahead body order). Also re-measures
+    mxu=int8 on the current windowed schedule (last measured r2,
+    pre-windows). All exact (interp-parity tests in test_tpu_impls)."""
+    from tpuimage.ops.pallas_kernels import hough_votes_pallas
+    from tpuimage.ops.hough import theta_windows
+    edges = edge_batch()
+    h, w = int(edges.shape[1]), int(edges.shape[2])
+    (xs_t, ys_t, counts, numrho, rho_base, rho_bins,
+     wins, span) = _vote_setup(edges)
+    c_mid = (numrho - 1) // 2
+    wins40, span40 = theta_windows(h, w, c_mid, rho_base, rho_bins, 40)
+    wins32, span32 = theta_windows(h, w, c_mid, rho_base, rho_bins, 32)
+
+    def perturb_xs(b_, tok):
+        return b_.at[:, 0, :].set((tok % 251).astype(jnp.float32))
+
+    base = dict(rows=128, theta_wins=wins, win_hi=span)
+    for name, kw in [
+            ("serial (re-measure)", dict(base)),
+            ("unroll2 (prod)", dict(base, unroll=2)),
+            ("unroll2 cmp_bf16", dict(base, unroll=2, cmp_bf16=True)),
+            ("unroll4 cmp_bf16", dict(base, unroll=4, cmp_bf16=True)),
+            ("serial cmp_bf16", dict(base, cmp_bf16=True)),
+            ("dual u2", dict(base, schedule="dual", unroll=2)),
+            ("dual u4", dict(base, schedule="dual", unroll=4)),
+            ("dual u2 cmp_bf16", dict(base, schedule="dual", unroll=2,
+                                      cmp_bf16=True)),
+            ("dual u4 cmp_bf16", dict(base, schedule="dual", unroll=4,
+                                      cmp_bf16=True)),
+            ("buildahead u2", dict(base, schedule="buildahead", unroll=2)),
+            ("buildahead u4", dict(base, schedule="buildahead", unroll=4)),
+            ("buildahead u4 bf16", dict(base, schedule="buildahead",
+                                        unroll=4, cmp_bf16=True)),
+            ("lo40+wins u1", dict(rows=128, lo_bins=40, theta_wins=wins40,
+                                  win_hi=span40)),
+            ("lo40+wins u2", dict(rows=128, lo_bins=40, theta_wins=wins40,
+                                  win_hi=span40, unroll=2)),
+            ("lo40 u2 cmp_bf16", dict(rows=128, lo_bins=40,
+                                      theta_wins=wins40, win_hi=span40,
+                                      unroll=2, cmp_bf16=True)),
+            ("lo32+wins u2", dict(rows=128, lo_bins=32, theta_wins=wins32,
+                                  win_hi=span32, unroll=2)),
+            ("int8 u2 (re-measure)", dict(base, unroll=2, mxu="int8")),
+            ("int8 dual u4 bf16", dict(base, schedule="dual", unroll=4,
+                                       cmp_bf16=True, mxu="int8")),
+    ]:
+        def op(xs, kw=kw):
+            def one(x, y, c):
+                acc = hough_votes_pallas(x, y, c, numrho,
+                                         rho_base=rho_base,
+                                         rho_bins=rho_bins, **kw)
+                return acc.astype(jnp.int32).sum()
+            return jax.vmap(one)(xs, ys_t, counts).sum()
+        try:
+            dt = chained(op, xs_t, perturb_xs)
+            print(f"votex[{name:22s}] {dt*1e3:7.2f} ms", flush=True)
+        except Exception as e:
+            print(f"votex[{name:22s}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+    # hardware parity: every experimental schedule == production counts
+    def acc_of(kw):
+        def one(x, y, c):
+            return hough_votes_pallas(x, y, c, numrho, rho_base=rho_base,
+                                      rho_bins=rho_bins, **kw)
+        return np.asarray(jax.jit(jax.vmap(one))(xs_t, ys_t, counts))
+    a = acc_of(base)
+    for name, kw in [
+            ("cmp_bf16", dict(base, unroll=2, cmp_bf16=True)),
+            ("dual", dict(base, schedule="dual", unroll=4)),
+            ("buildahead", dict(base, schedule="buildahead", unroll=4,
+                                cmp_bf16=True)),
+            ("lo40", dict(rows=128, lo_bins=40, theta_wins=wins40,
+                          win_hi=span40, unroll=2))]:
+        print(f"hw parity {name} == prod:",
+              np.array_equal(a, acc_of(kw)), flush=True)
+
+
 def sec_canny():
     import glob
     from tpuimage.ops.edges import canny
@@ -489,6 +574,128 @@ def sec_chunkscale():
                   f"{str(e)[:300]}", flush=True)
 
 
+def sec_landnf():
+    """VERDICT r4 items 4 + 6: hardware numbers for the three table rows
+    without current-default measurements — landscape enhance_image (the
+    one reference workload with NO TPU number at all), night_rgb (stale
+    r3 1008), face-denoise core (stale r2 56.7). Each with the cv2
+    reference chain alongside (min-of-5; ±2x thread-pool variance)."""
+    import cv2
+    from PIL import Image
+
+    def load(path, size=None):
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            if size:
+                im = im.resize(size, Image.BILINEAR)
+            return np.asarray(im, np.uint8)
+
+    def cpu_best(fn, n=5):
+        fn()
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def perturb(b_, tok):
+        return b_.at[:, 0, 0, 0].set((tok % 251).astype(jnp.uint8))
+
+    # --- landscape enhance_image (Landscape.py:157-192, clean path) ---
+    land = load("/root/reference/public/sample.jpg")
+    mp1 = land.shape[0] * land.shape[1] / 1e6
+
+    def cpu_land():
+        bgr = land[..., ::-1].copy()
+        den = cv2.bilateralFilter(bgr, 9, 75, 75)
+        lab = cv2.cvtColor(den, cv2.COLOR_BGR2LAB)
+        l_orig, a, b = cv2.split(lab)
+        l_clahe = cv2.createCLAHE(clipLimit=2.2, tileGridSize=(8, 8)
+                                  ).apply(l_orig)
+        l_norm = l_orig.astype(np.float32) / 255.0
+        wgt = (1.0 - np.power(l_norm, 2.0)) * 0.55
+        l_fin = (l_clahe.astype(np.float32) * wgt
+                 + l_orig.astype(np.float32) * (1.0 - wgt)).astype(np.uint8)
+        enh = cv2.cvtColor(cv2.merge((l_fin, a, b)), cv2.COLOR_LAB2BGR)
+        blur = cv2.GaussianBlur(enh, (0, 0), 1.0)
+        cv2.addWeighted(enh, 1.8, blur, -0.8, 0)
+
+    from tpuimage.pipelines.landscape import enhance_image
+    lb = jnp.asarray(np.broadcast_to(land, (BATCH,) + land.shape).copy())
+    try:
+        dt = chained(lambda b: jax.vmap(enhance_image)(b)
+                     .astype(jnp.int32).sum(), lb, perturb)
+        cpu = cpu_best(cpu_land)
+        print(f"landnf[landscape] tpu {dt*1e3:7.2f} ms/batch8 = "
+              f"{BATCH*mp1/dt:7.1f} MP/s | cpu {mp1/cpu:5.1f} MP/s "
+              f"(best {cpu*1e3:.1f} ms) | {BATCH*mp1/dt/(mp1/cpu):5.1f}x",
+              flush=True)
+    except Exception as e:
+        print(f"landnf[landscape] FAILED: {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
+    # --- night_rgb re-measure (asm.py:63-103) ---
+    night = load("/root/reference/public/nightview.png")
+    mp2 = night.shape[0] * night.shape[1] / 1e6
+
+    def cpu_night():
+        bgr = night[..., ::-1].copy()
+        den = cv2.medianBlur(bgr, 3)
+        lab = cv2.cvtColor(den, cv2.COLOR_BGR2LAB)
+        l2 = cv2.createCLAHE(2.0, (8, 8)).apply(lab[..., 0])
+        cv2.cvtColor(np.concatenate([l2[..., None], lab[..., 1:]], -1),
+                     cv2.COLOR_LAB2BGR)
+
+    from tpuimage.pipelines.night import night_rgb_batch
+    nb = jnp.asarray(np.broadcast_to(night, (BATCH,) + night.shape).copy())
+    try:
+        dt = chained(lambda b: night_rgb_batch(b)["enhanced"]
+                     .astype(jnp.int32).sum(), nb, perturb)
+        cpu = cpu_best(cpu_night)
+        print(f"landnf[night_rgb ] tpu {dt*1e3:7.2f} ms/batch8 = "
+              f"{BATCH*mp2/dt:7.1f} MP/s | cpu {mp2/cpu:5.1f} MP/s "
+              f"(best {cpu*1e3:.1f} ms) | {BATCH*mp2/dt/(mp2/cpu):5.1f}x",
+              flush=True)
+    except Exception as e:
+        print(f"landnf[night_rgb ] FAILED: {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
+    # --- face denoise core re-measure (FaceEnhancement.py:23-53 gaussian
+    # branch through the glamour bilateral) ---
+    face = load("/root/reference/public/facewithnoise.jpg")
+    mp3 = face.shape[0] * face.shape[1] / 1e6
+
+    def cpu_face():
+        bgr = face[..., ::-1].copy()
+        light = cv2.GaussianBlur(bgr, (5, 5), 0)
+        strong = cv2.GaussianBlur(bgr, (9, 9), 0)
+        ycrcb = cv2.cvtColor(light, cv2.COLOR_BGR2YCrCb)
+        mask = cv2.inRange(ycrcb, (0, 133, 77), (255, 173, 127))
+        k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5))
+        mask = cv2.morphologyEx(mask, cv2.MORPH_OPEN, k)
+        mask = cv2.dilate(mask, k, iterations=2)
+        mask = cv2.GaussianBlur(mask, (21, 21), 0)
+        m = mask.astype(np.float32)[..., None] / 255.0
+        comb = (light * m + strong * (1 - m)).astype(np.uint8)
+        cv2.bilateralFilter(comb, -1, 30, 10)
+
+    from tpuimage.pipelines.face import face_pre_eyes
+    fb = jnp.asarray(np.broadcast_to(face, (BATCH,) + face.shape).copy())
+    try:
+        dt = chained(lambda b: jax.vmap(
+            lambda im: face_pre_eyes(im, noise_type="gaussian")
+            ["skin_enhanced"])(b).astype(jnp.int32).sum(), fb, perturb)
+        cpu = cpu_best(cpu_face)
+        print(f"landnf[face_core ] tpu {dt*1e3:7.2f} ms/batch8 = "
+              f"{BATCH*mp3/dt:7.1f} MP/s | cpu {mp3/cpu:5.1f} MP/s "
+              f"(best {cpu*1e3:.1f} ms) | {BATCH*mp3/dt/(mp3/cpu):5.1f}x",
+              flush=True)
+    except Exception as e:
+        print(f"landnf[face_core ] FAILED: {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
+
 def sec_roofline():
     edges = edge_batch()
     e0 = np.asarray(edges[0] > 0)
@@ -517,6 +724,8 @@ SECTIONS = {"compact": sec_compact, "vote": sec_vote, "canny": sec_canny,
             "votescale": sec_votescale,
             "stagescale": sec_stagescale,
             "chunkscale": sec_chunkscale,
+            "votex": sec_votex,
+            "landnf": sec_landnf,
             "prechain": sec_prechain,
             "morphseq": sec_morphseq,
             "roofline": sec_roofline}

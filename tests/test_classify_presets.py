@@ -11,6 +11,7 @@ from tpuimage.io.imageio import load_image_rgb
 
 
 class TestHeuristicClassifiers:
+    pytestmark = pytest.mark.slow
     def test_nightscape(self):
         rgb = load_image_rgb("/root/reference/public/nightview.png")[::2, ::2]
         assert heuristic.classify_priority(rgb) == "nightscape"
@@ -52,6 +53,7 @@ class TestHeuristicClassifiers:
 
 
 class TestPresetDB:
+    pytestmark = pytest.mark.slow
     def test_loads_all_groups(self):
         cat = presets.load_categorization_presets()
         enh = presets.load_enhancement_presets()
@@ -90,6 +92,7 @@ class TestPresetDB:
 
 
 class TestClipArchitecture:
+    pytestmark = pytest.mark.slow
     def test_vision_tower_shapes_and_convert(self, rng):
         from tpuimage.classify import clip as C
 
@@ -184,6 +187,7 @@ class TestRouter:
 
 
 class TestBatchClassify:
+    pytestmark = pytest.mark.slow
     """Batch classify (one vmapped cue program + one Haar cascade pass)
     must produce identical labels to the per-image form."""
 

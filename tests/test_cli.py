@@ -52,6 +52,7 @@ class TestCLIs:
 
 
 class TestCompareComposite:
+    pytestmark = pytest.mark.slow
     def test_layout_and_mixed_shapes(self, rng):
         from tpuimage.io.report import compare_composite
         a = rng.integers(0, 256, size=(60, 40, 3), dtype=np.uint8)

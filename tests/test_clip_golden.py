@@ -17,6 +17,8 @@ and numerically pinned.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from test_clip_numerics import (make_state_dict, np_text_forward,
                                 np_vision_forward)
 from test_clip_preprocess import oracle_crop_u8, _MEAN, _STD

@@ -182,6 +182,7 @@ class TestTowerNumerics:
 
 
 class TestZeroShotEndToEnd:
+    pytestmark = pytest.mark.slow
     def test_predict_with_random_checkpoint(self, sd, tmp_path):
         """ClipZeroShot produces a prediction from a converted random
         checkpoint incl. the __text_features__ precompute contract."""

@@ -90,6 +90,7 @@ class TestApproxPolyDP:
 
 
 class TestLocalize:
+    pytestmark = pytest.mark.slow
     def test_quad_found_and_ordered(self, doc_result):
         quad = doc_result["quad"]
         assert quad is not None and not doc_result["use_whole"]
@@ -150,6 +151,7 @@ class TestLocalize:
 
 
 class TestPostWarpParity:
+    pytestmark = pytest.mark.slow
     @pytest.mark.parametrize("cfg", [docscan.GUI_DOCUMENT_CONFIG,
                                      docscan.DocScanConfig(scale_long=1200)])
     def test_stages_bit_exact(self, doc_result, cfg):
@@ -207,6 +209,7 @@ class TestPostWarpParity:
 
 
 class TestBatch:
+    pytestmark = pytest.mark.slow
     def test_post_warp_batch_matches_single(self, doc_result):
         warped = np.asarray(doc_result["warped"])[:256, :256]
         batch = np.stack([warped, warped[:, ::-1]])
@@ -223,28 +226,42 @@ class TestBatch:
         becomes per-chunk; angle==0 rotation is exact identity, so the
         unchunked form rotating every page equals the chunked form
         rotating one chunk)."""
-        warped = np.asarray(doc_result["warped"])[:256, :256]
+        # synthetic page with long VERTICAL rules (the deskew Hough maps
+        # near-vertical strokes, theta ~ 0/180, to the rotation angle —
+        # a real document crop this small clears no 150-vote Hough peak
+        # and silently tested nothing; ADVICE r4), rotated 3 degrees
+        page = np.full((256, 256, 3), 255, np.uint8)
+        for x in range(24, 240, 36):
+            cv2.rectangle(page, (x, 8), (x + 3, 247), (0, 0, 0), -1)
         m = cv2.getRotationMatrix2D((128.0, 128.0), 3.0, 1.0)
-        tilted = cv2.warpAffine(warped, m, (256, 256),
+        tilted = cv2.warpAffine(page, m, (256, 256),
                                 flags=cv2.INTER_LINEAR,
                                 borderMode=cv2.BORDER_REPLICATE)
         # chunk 0: edge-free pages (deskew angle exactly 0 — no Canny
-        # edges, no Hough lines); chunk 1: tilted text (angle != 0)
-        flat = np.full_like(warped, 255)
-        gray = np.full_like(warped, 128)
+        # edges, no Hough lines); chunk 1: tilted rules (angle != 0)
+        flat = np.full_like(page, 255)
+        gray = np.full_like(page, 128)
         batch = np.stack([flat, gray, tilted, tilted[::-1]])
         cfg = docscan.GUI_DOCUMENT_CONFIG
         full = docscan.docscan_post_warp_batch(batch, cfg, chunk=0)
         chunked = docscan.docscan_post_warp_batch(batch, cfg, chunk=2)
         angles = np.asarray(full["deskew_angle"])
-        assert (angles[:2] == 0.0).all() and (angles[2:] != 0.0).any(), \
+        assert (angles[:2] == 0.0).all() and (angles[2:] != 0.0).all(), \
             "fixture no longer exercises a mixed rotate/no-rotate chunk split"
         for k in full:
             np.testing.assert_array_equal(np.asarray(full[k]),
                                           np.asarray(chunked[k]), err_msg=k)
 
+    def test_post_warp_batch_rejects_non_divisor_chunk(self, doc_result):
+        warped = np.asarray(doc_result["warped"])[:64, :64]
+        batch = np.stack([warped] * 3)
+        with pytest.raises(ValueError, match="does not divide"):
+            docscan.docscan_post_warp_batch(batch, docscan.GUI_DOCUMENT_CONFIG,
+                                            chunk=2)
+
 
 class TestScanBatch:
+    pytestmark = pytest.mark.slow
     def test_batch_matches_process_document(self, doc_result, tmp_path):
         from PIL import Image
         import jax
@@ -302,6 +319,30 @@ class TestScanBatch:
         assert "error" in results[1]
         for r in (results[0], results[2]):
             assert "binary" in r and r["binary"].shape == (1200, 849)
+
+    def test_pipeline_chunk_matches_plain(self, rng):
+        """scan_batch(pipeline_chunk=k) drives k-sized sub-batches through
+        scan_stream's cross-batch scheduler inside ONE call (the serial
+        serve path's intra-batch overlap; VERDICT r4 item 1b) — per-image
+        results, ordering, and error isolation must be identical to the
+        plain four-phase path, including a non-divisor chunk (last
+        sub-batch short) and a failing input."""
+        cfg = docscan.DocScanConfig(scale_long=200, mask_blur_ksize=15,
+                                    block_size=15)
+        from PIL import Image
+        with Image.open(DOC1) as im:
+            doc = np.asarray(im.convert("RGB"))
+        flat = np.full((120, 160, 3), 200, np.uint8)
+        inputs = [doc, flat, "/nonexistent.png", doc, doc]
+        plain = docscan.scan_batch(inputs, config=cfg)
+        piped = docscan.scan_batch(inputs, config=cfg, pipeline_chunk=2)
+        assert len(plain) == len(piped) == len(inputs)
+        for p, q in zip(plain, piped):
+            assert ("error" in p) == ("error" in q)
+            if "error" in p:
+                continue
+            assert p["use_whole"] == q["use_whole"]
+            np.testing.assert_array_equal(p["binary"], q["binary"])
 
     def test_mixed_shape_batch(self, rng):
         """Quad pages + use-whole fallbacks of two different shapes in one

@@ -60,6 +60,7 @@ class TestCanny:
         mine = np.asarray(edges.canny(gray, 40, 120))
         assert np.mean(ref == mine) > 0.98
 
+    @pytest.mark.slow
     def test_hysteresis_impls_identical(self, doc_gray, gray):
         # all growth schedules reach the same weak-reachability fixpoint
         for img, lo, hi in [(doc_gray, 50, 150), (doc_gray, 30, 100),

@@ -40,6 +40,8 @@ import cv2
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tpuimage.io.imageio import load_image_rgb
 from tpuimage.pipelines import face
 

@@ -65,6 +65,7 @@ class TestNoiseClassifier:
 
 
 class TestEndToEnd:
+    pytestmark = pytest.mark.slow
     def test_matches_reference_golden(self, portrait):
         res = face.enhance_face(portrait)
         golden = load_image_rgb(GOLDEN)

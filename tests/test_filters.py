@@ -19,6 +19,7 @@ def maxdiff(a, b):
 class TestGaussian:
     @pytest.mark.parametrize("k,s", [(3, 0), (5, 0), (7, 0), (9, 0), (21, 0),
                                      (31, 0), (35, 0), (51, 0), (61, 0)])
+    @pytest.mark.slow
     def test_ksize_exact(self, rng, k, s):
         img = rand_img(rng)
         ref = cv2.GaussianBlur(img, (k, k), s)
@@ -42,6 +43,7 @@ class TestGaussian:
 
     @pytest.mark.parametrize("shape,k", [((97, 123), 25), ((211, 173), 43),
                                          ((120, 255), 51)])
+    @pytest.mark.slow
     def test_matmul_impl_exact(self, rng, shape, k):
         # the MXU banded-Toeplitz path (TPU production form for big blurs)
         # must be bit-identical to cv2 and to the shifted-MAC form

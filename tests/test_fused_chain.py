@@ -10,6 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tpuimage.ops.morphology import morph_blackhat, structuring_element, dilate
 from tpuimage.ops.threshold import threshold_binary
 from tpuimage.ops.arith import max_u8, normalize_minmax, normalize_minmax_lut

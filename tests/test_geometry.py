@@ -127,6 +127,21 @@ class TestPerspective:
         assert geo.warp_perspective_tiled_batch(
             stack, bad[None], 120, 100) is None
 
+    def test_warp_tiled_plan_rejects_tiny_source(self):
+        """Source smaller than the shared window g: the slide clamp can
+        pass the coverage check while _warp_tiled_exec's dynamic_slice
+        would request a (g, g) slice larger than the padded source — must
+        reject to the gather path, not trace-error (ADVICE r4)."""
+        import jax.numpy as jnp
+        tiny = jnp.asarray(np.arange(16 * 16 * 3, dtype=np.uint8)
+                           .reshape(1, 16, 16, 3))
+        # output 32x32 single tile whose source window spans [-5, 32) on a
+        # 16px source: span 37 -> g 40 > 16 + 2*pad = 32
+        minv = np.array([[[1.1, 0.0, -4.0],
+                          [0.0, 1.1, -4.0],
+                          [0.0, 0.0, 1.0]]], np.float32)
+        assert geo.warp_perspective_tiled_batch(tiny, minv, 32, 32) is None
+
     @pytest.mark.parametrize("seed", [7, 10, 26, 1234])
     def test_remap(self, seed):
         # seeds 7/10/26 hit coords where the 4-tap MAC lands within 1e-5 of

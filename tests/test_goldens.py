@@ -33,6 +33,8 @@ Findings this harness encodes (measured, see assertions):
 import cv2
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from PIL import Image
 
 import jax.numpy as jnp

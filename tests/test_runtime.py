@@ -19,6 +19,7 @@ def mesh8():
 
 
 class TestDataParallel:
+    pytestmark = pytest.mark.slow
     def test_run_data_parallel_matches_serial(self, rng, mesh8):
         imgs = rng.integers(0, 256, size=(11, 64, 48), dtype=np.uint8)  # non-multiple
         out = rt.run_data_parallel(lambda im: median_blur(im, 3), imgs, mesh8)
@@ -42,6 +43,7 @@ def space_mesh():
 
 
 class TestSpatialHalo:
+    pytestmark = pytest.mark.slow
     def test_halo_blur_matches_single_device_full_image(self, rng, space_mesh):
         # border="reflect101" matches the gaussian's internal padding, so
         # the sharded result equals the unsharded one EVERYWHERE including
@@ -96,6 +98,7 @@ class TestSpatialHalo:
 
 
 class TestSpatialGlobalStats:
+    pytestmark = pytest.mark.slow
     """Round-2 VERDICT item 5: pipelines with GLOBAL statistics (CLAHE tile
     hists, Otsu, min-max) running spatially sharded, full-image-equal."""
 
@@ -175,6 +178,7 @@ class TestSpatialGlobalStats:
 
 
 class TestDpSpatial:
+    pytestmark = pytest.mark.slow
     def test_two_axis_mesh_full_image(self, rng):
         mesh = rt.make_mesh(8, axis_names=("data", "space"), shape=(2, 4))
         batch = rng.integers(0, 256, size=(4, 64, 48), dtype=np.uint8)
@@ -191,6 +195,7 @@ class TestDpSpatial:
 
 
 class TestSpatialDocscan:
+    pytestmark = pytest.mark.slow
     """The FLAGSHIP pipeline H-sharded (runtime.spatial.
     docscan_post_warp_spatial) must equal docscan_post_warp bit-exactly on
     the full image — global statistics (NORM_MINMAX, two Otsu solves),

@@ -19,6 +19,7 @@ def scene():
 
 
 class TestShadowPipeline:
+    pytestmark = pytest.mark.slow
     def test_all_presets_run(self, scene):
         for name, preset in shadow.PRESETS.items():
             final, mask = shadow.enhance_shadow_protected(jnp.asarray(scene), preset)
@@ -119,6 +120,7 @@ class TestRestoreOps:
 
 
 class TestDocRestore:
+    pytestmark = pytest.mark.slow
     def test_process_image_outputs(self, tmp_path):
         from tpuimage.pipelines import docrestore
         r = docrestore.process_image("/root/reference/public/DIP test/document1.jpeg",
@@ -140,6 +142,7 @@ class TestDocRestore:
 
 
 class TestModules:
+    pytestmark = pytest.mark.slow
     def test_module1_matches_cv2(self, scene):
         ours = np.asarray(modules.module1_enhance(jnp.asarray(scene)))
         lab = cv2.cvtColor(scene[..., ::-1], cv2.COLOR_BGR2LAB)

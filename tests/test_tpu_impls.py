@@ -141,6 +141,7 @@ class TestHoughPallas:
         assert a.sum() == (edges > 0).sum() * 180  # every edge voted per theta
 
     @pytest.mark.parametrize("with_wins", [False, True])
+    @pytest.mark.slow
     def test_theta_pack2_equals_grid(self, rng, with_wins):
         """theta_pack=2 (two thetas per MXU dot, off-diagonal cross blocks
         discarded) must produce identical counts to the per-theta grid
@@ -173,6 +174,7 @@ class TestHoughPallas:
                                               **kw))
             np.testing.assert_array_equal(a, c)
 
+    @pytest.mark.slow
     def test_theta_pack_inner_equals_xla(self, rng):
         """theta_pack on the THETA-INNER schedule (pk thetas per chunk dot
         AND theta_bins/pk fori iterations — the classify-cue lever of
@@ -222,6 +224,56 @@ class TestHoughPallas:
         c = np.asarray(hough_votes_pallas(xs_t, ys_t, counts, theta_pack=2,
                                           unroll=2, **kw))
         np.testing.assert_array_equal(a, c)
+
+    @pytest.mark.parametrize("with_wins", [False, True])
+    @pytest.mark.slow
+    def test_r5_schedules_equal_serial(self, rng, with_wins):
+        """Round-5 vote-kernel experiments must produce identical counts
+        to the serial grid schedule: bf16 iota compares (exact — hi/lo
+        are integers < 128; poisons round to values outside the iota
+        range), dual-accumulator even/odd halves, build-ahead body order,
+        and the balanced non-power-of-2 radix lo_bins=40 (exercises the
+        //-and-% split path)."""
+        from tpuimage.ops.pallas_kernels import hough_votes_pallas, _HOUGH_LO
+        h, w = 240, 320
+        edges = (rng.random((h, w)) < 0.1).astype(np.uint8) * 255
+        xs_t, ys_t, counts = hough_mod.band_compact_coords(
+            jnp.asarray(edges), h * w)
+        numrho = (h + w) * 2 + 1
+        c_mid = (numrho - 1) // 2
+        rho_base = max(c_mid - (w - 1) - 1, 0)
+        rho_hi = min(c_mid + int(np.ceil(np.hypot(w - 1, h - 1))) + 1,
+                     numrho - 1)
+        kw = dict(numrho=numrho, rho_base=rho_base,
+                  rho_bins=rho_hi - rho_base + 1, interpret=True,
+                  theta_inner="grid", rows=16)
+        if with_wins:
+            win0, span = hough_mod.theta_windows(h, w, c_mid, rho_base,
+                                                 kw["rho_bins"], _HOUGH_LO)
+            kw.update(theta_wins=win0, win_hi=span)
+        a = np.asarray(hough_votes_pallas(xs_t, ys_t, counts, **kw))
+        for name, extra in [
+                ("cmp_bf16", dict(cmp_bf16=True)),
+                ("dual", dict(schedule="dual", unroll=2)),
+                ("dual u3", dict(schedule="dual", unroll=3)),
+                ("buildahead", dict(schedule="buildahead", unroll=2)),
+                ("dual+bf16", dict(schedule="dual", unroll=2,
+                                   cmp_bf16=True)),
+        ]:
+            b = np.asarray(hough_votes_pallas(xs_t, ys_t, counts,
+                                              **kw, **extra))
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        if not with_wins:
+            lo40 = dict(kw, lo_bins=40)
+            b = np.asarray(hough_votes_pallas(xs_t, ys_t, counts, **lo40))
+            np.testing.assert_array_equal(a, b, err_msg="lo40")
+        else:
+            # lo=40 with per-theta windows through the ONE window helper
+            win0, span = hough_mod.theta_windows(h, w, c_mid, rho_base,
+                                                 kw["rho_bins"], 40)
+            lo40 = dict(kw, lo_bins=40, theta_wins=win0, win_hi=span)
+            b = np.asarray(hough_votes_pallas(xs_t, ys_t, counts, **lo40))
+            np.testing.assert_array_equal(a, b, err_msg="lo40+wins")
 
     @pytest.mark.parametrize("shape,density", [((600, 400), 0.05),
                                                ((600, 400), 0.2),

@@ -368,6 +368,13 @@ def perspective_tiles_plan(minvs: np.ndarray, in_h: int, in_w: int,
     g = -(-g_need // 8) * 8
     if g > g_max:
         return None
+    if g > min(in_h, in_w) + 2 * P:
+        # source smaller than the shared window: the slide clamp below
+        # could still pass the coverage check, but _warp_tiled_exec's
+        # dynamic_slice would then request a (g, g) slice larger than the
+        # padded source — a trace-time error instead of the documented
+        # gather fallback (ADVICE r4). Tiny sources go to the gather path.
+        return None
     oy = np.concatenate([o.reshape(-1) for o, _ in oys])
     ox = np.concatenate([o.reshape(-1) for o, _ in oxs])
     wy_end = np.concatenate([e.reshape(-1) for _, e in oys])

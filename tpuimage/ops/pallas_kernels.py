@@ -256,7 +256,8 @@ def _make_hough_kernel(n_hi: int, nbins: int,
                        mxu_dtype, acc_dtype, rows: int = _HOUGH_ROWS,
                        swap_mn: bool = False, lo_bins: int = _HOUGH_LO,
                        n_chunks: int = 1, pipelined: bool = False,
-                       unroll: int = 1):
+                       unroll: int = 1, cmp_bf16: bool = False,
+                       schedule: str = "serial"):
     """votes[theta] = sum_e onehot_hi(r_e)^T @ onehot_lo(r_e) for one theta.
 
     Performance notes (measured on the axon chip, 8x 849x1200 pages):
@@ -298,6 +299,23 @@ def _make_hough_kernel(n_hi: int, nbins: int,
       the coordinate planes to a multiple of rows*unroll (poisoned slots
       vote nothing, so the over-run chunks of the rounded-up trip count
       are free); hough_votes_pallas does this.
+    - cmp_bf16=True runs the one-hot iota compares in bfloat16 instead of
+      int32 (r5 experiment). EXACT: hi < n_hi <= 128 and lo < lo_bins <=
+      128 are integers < 256, all exactly representable in bf16; poisoned
+      or out-of-window slots give hi/lo outside [0, 256) whose bf16
+      rounding is to even integers still outside the iota range, so no
+      false match is possible. The VPU's native lane is 32-bit, but if
+      Mosaic packs bf16 compares 2/lane this halves the dominant VPU
+      cost; if not it is a wash — the measurement discriminates.
+    - schedule="dual" (grid path, unroll >= 2): even/odd chunks of each
+      unrolled body accumulate into SEPARATE halves of a doubled VMEM
+      accumulator, summed once in the epilogue — the serial schedule's
+      acc read-modify-write chains consecutive dots, so chunk j+1's dot
+      cannot issue until chunk j's retires even when its one-hot is
+      ready; two independent accumulators break that chain (r5
+      experiment). schedule="buildahead" additionally emits ALL U builds
+      of a body before its U dots (classic modulo-schedule order), so
+      the builds can run while the previous body's dots drain.
     """
     chunk = rows * _HOUGH_BANDS
     shift = lo_bins.bit_length() - 1 if lo_bins & (lo_bins - 1) == 0 else None
@@ -319,9 +337,14 @@ def _make_hough_kernel(n_hi: int, nbins: int,
         else:
             hi = r // lo_bins
             lo = r % lo_bins
-        ohT_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (n_hi, chunk), 0)
+        cmp_dtype = jnp.bfloat16 if cmp_bf16 else jnp.int32
+        if cmp_bf16:
+            hi = hi.astype(jnp.bfloat16)
+            lo = lo.astype(jnp.bfloat16)
+        ohT_hi = (hi == jax.lax.broadcasted_iota(cmp_dtype, (n_hi, chunk), 0)
                   ).astype(mxu_dtype)
-        ohT_lo = (lo == jax.lax.broadcasted_iota(jnp.int32, (lo_bins, chunk), 0)
+        ohT_lo = (lo == jax.lax.broadcasted_iota(cmp_dtype, (lo_bins, chunk),
+                                                 0)
                   ).astype(mxu_dtype)
         return ohT_hi, ohT_lo
 
@@ -373,12 +396,56 @@ def _make_hough_kernel(n_hi: int, nbins: int,
 
     accumulate_theta = make_accumulate_theta(pipelined)
 
-    def kernel(nt_ref, ct_ref, st_ref, rs_ref, xs_ref, ys_ref, out_ref,
-               acc_ref):
-        t = pl.program_id(0)
-        accumulate_theta(ct_ref[t, 0], st_ref[t, 0], rs_ref[t, 0], nt_ref,
-                         xs_ref, ys_ref, acc_ref)
-        out_ref[:] = acc_ref[:].reshape((1,) + acc_shape)
+    if schedule == "serial":
+        def kernel(nt_ref, ct_ref, st_ref, rs_ref, xs_ref, ys_ref, out_ref,
+                   acc_ref):
+            t = pl.program_id(0)
+            accumulate_theta(ct_ref[t, 0], st_ref[t, 0], rs_ref[t, 0],
+                             nt_ref, xs_ref, ys_ref, acc_ref)
+            out_ref[:] = acc_ref[:].reshape((1,) + acc_shape)
+    else:
+        # dual-accumulator schedules (grid path, default orientation,
+        # unroll >= 2; see factory docstring): acc_ref is (2*n_hi, lo),
+        # even/odd chunks of each body land in separate halves so the acc
+        # RMW never chains consecutive dots; "buildahead" also reorders
+        # each body to U builds then U dots.
+        assert not swap_mn and unroll >= 2 and not pipelined
+
+        def accumulate_dual(ct, st, rs, nt_ref, xs_ref, ys_ref, acc_ref):
+            acc_ref[:] = jnp.zeros((2 * n_hi, lo_bins), acc_dtype)
+
+            def dot_half(j, ohT_hi, ohT_lo):
+                h0 = (j % 2) * n_hi
+                acc_ref[h0:h0 + n_hi, :] = (
+                    acc_ref[h0:h0 + n_hi, :] + jax.lax.dot_general(
+                        ohT_hi, ohT_lo,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=acc_dtype))
+
+            if schedule == "buildahead":
+                def body(u, _):
+                    pairs = [build(u * unroll + j, ct, st, rs, xs_ref,
+                                   ys_ref) for j in range(unroll)]
+                    for j, (hh, ll) in enumerate(pairs):
+                        dot_half(j, hh, ll)
+                    return 0
+            else:
+                def body(u, _):
+                    for j in range(unroll):
+                        dot_half(j, *build(u * unroll + j, ct, st, rs,
+                                           xs_ref, ys_ref))
+                    return 0
+
+            jax.lax.fori_loop(
+                0, (nt_ref[0, 0] + unroll - 1) // unroll, body, 0)
+
+        def kernel(nt_ref, ct_ref, st_ref, rs_ref, xs_ref, ys_ref, out_ref,
+                   acc_ref):
+            t = pl.program_id(0)
+            accumulate_dual(ct_ref[t, 0], st_ref[t, 0], rs_ref[t, 0],
+                            nt_ref, xs_ref, ys_ref, acc_ref)
+            out_ref[:] = (acc_ref[:n_hi, :] + acc_ref[n_hi:, :]
+                          ).reshape((1,) + acc_shape)
 
     def make_kernel_pack(pk: int):
         # pk thetas per dot: stack the thetas' hi one-hots in M (pk*n_hi
@@ -519,7 +586,8 @@ _THETA_INNER_MAX_KB = 384
                                              "swap_mn", "lo_bins",
                                              "theta_inner", "pipelined",
                                              "theta_wins", "win_hi",
-                                             "theta_pack", "unroll"))
+                                             "theta_pack", "unroll",
+                                             "cmp_bf16", "schedule"))
 def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        counts: jnp.ndarray, numrho: int,
                        theta_bins: int = 180,
@@ -532,7 +600,8 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
                        pipelined: bool = False,
                        theta_wins=None, win_hi: int = 0,
                        theta_pack: int = 1,
-                       unroll: int = 1) -> jnp.ndarray:
+                       unroll: int = 1, cmp_bf16: bool = False,
+                       schedule: str = "serial") -> jnp.ndarray:
     """(numrho, theta_bins) int32 vote accumulator over a band-compacted
     edge list — the Pallas production path of ops.hough.hough_accumulator
     (identical counts: same f32 round, same one-hot matmul contraction).
@@ -561,6 +630,11 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     """
     assert unroll >= 1 and not (unroll > 1 and pipelined), \
         "unroll applies to the serial schedule only"
+    assert schedule in ("serial", "dual", "buildahead")
+    if schedule != "serial":
+        assert (not swap_mn and not pipelined and theta_pack == 1
+                and unroll >= 2), \
+            "dual/buildahead need the default grid orientation, unroll>=2"
     kb = int(xs_t.shape[0])
     # pad to rows*unroll so the unrolled body's over-run chunk reads stay
     # in-bounds (poisoned slots vote nothing)
@@ -604,7 +678,8 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
     (kernel, kernel_inner, make_kernel_pack,
      make_kernel_inner_pack) = _make_hough_kernel(
         n_hi, rho_bins, mxu_dtype, acc_dtype, rows, swap_mn, lo_bins,
-        n_chunks=kb // rows, pipelined=pipelined, unroll=unroll)
+        n_chunks=kb // rows, pipelined=pipelined, unroll=unroll,
+        cmp_bf16=cmp_bf16, schedule=schedule)
     acc_shape = (lo_bins, n_hi) if swap_mn else (n_hi, lo_bins)
 
     def unpack(votes):
@@ -634,6 +709,9 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
         return v.T
     if theta_inner == "auto":
         theta_inner = "inner" if kb <= _THETA_INNER_MAX_KB else "grid"
+    if schedule != "serial":
+        assert theta_inner == "grid", \
+            "dual/buildahead schedules exist on the grid path only"
     if theta_pack > 1 and theta_inner == "grid":
         pk = theta_pack
         assert not swap_mn and not pipelined, \
@@ -718,7 +796,9 @@ def hough_votes_pallas(xs_t: jnp.ndarray, ys_t: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1,) + acc_shape, lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM(acc_shape, acc_dtype)],
+        scratch_shapes=[pltpu.VMEM(
+            acc_shape if schedule == "serial" else (2 * n_hi, lo_bins),
+            acc_dtype)],
         interpret=interpret,
     )(n_trips, cos_t, sin_t, rs_t, xs_t, ys_t)
     # drop the spare row's lane range, shift windows back (theta_wins), pad

@@ -579,13 +579,14 @@ def _auto_batch_chunk(bsz: int) -> int:
     """Chunk size for the fused batch program. The r4 battery measured the
     fused program at 737/701/547 MP/s for batch 8/16/32 (stagescale
     attributes the falloff to the pre-deskew XLA stages' fusion/layout at
-    32x1MP working sets, not any Pallas kernel), so the candidate fix is
-    running large batches as sequential batch-8 sub-programs inside one
-    jit. AUTO IS OFF (returns 0) until the chunkscale battery section
-    measures the lax.map form on hardware — flip here once it wins,
-    per the measured-winners-only default discipline (CLAUDE.md)."""
-    del bsz
-    return 0
+    32x1MP working sets, not any Pallas kernel). The r5 chunkscale run on
+    real v5e measured the lax.map fix at b32: chunk0 543.8, chunk8
+    707.7, chunk16 693.3 MP/s — sequential batch-8 sub-programs recover
+    the whole regression, so auto chunks to 8 for batches ABOVE 16 (b16
+    itself measured within noise of b8 whole-batch in r4; chunking it is
+    unmeasured). Non-multiples of 8 keep the whole-batch vmap — the
+    sub-batch program would compile per distinct remainder."""
+    return 8 if bsz > 16 and bsz % 8 == 0 else 0
 
 
 @functools.partial(jax.jit, static_argnames=("config", "chunk"))
@@ -602,13 +603,25 @@ def docscan_post_warp_batch(warped_batch: jnp.ndarray, config: DocScanConfig,
 
     chunk: images per sequential sub-dispatch inside the jit (lax.map).
     None = auto (see _auto_batch_chunk); 0 = whole batch in one vmap.
-    Results are identical either way — chunking only bounds the working
-    set XLA fuses over, which is what regresses at batch 32.
+    An EXPLICIT chunk must divide the batch size (ValueError otherwise —
+    a forced chunk=8 on b=12 silently measuring the unchunked program is
+    worse than an error; ADVICE r4). Results are identical either way —
+    chunking only bounds the working set XLA fuses over, which is what
+    regresses at batch 32.
     """
     c = config
     bsz = int(warped_batch.shape[0])
-    k = _auto_batch_chunk(bsz) if chunk is None else int(chunk)
-    if k <= 0 or k >= bsz or bsz % k != 0:
+    if chunk is None:
+        k = _auto_batch_chunk(bsz)
+        if bsz % max(k, 1) != 0:
+            k = 0   # auto quietly falls back for awkward batch sizes
+    else:
+        k = int(chunk)
+        if k > 0 and bsz % k != 0:
+            raise ValueError(
+                f"chunk={k} does not divide batch size {bsz}; pass a "
+                f"divisor or chunk=0 for the whole-batch vmap")
+    if k <= 0 or k >= bsz:
         return _post_warp_batch_body(warped_batch, c)
     chunked = warped_batch.reshape((bsz // k, k) + warped_batch.shape[1:])
     out = jax.lax.map(lambda wb: _post_warp_batch_body(wb, c), chunked)
@@ -770,8 +783,23 @@ def _finish_document(result: dict, out_dir: Optional[str], do_ocr: bool) -> dict
     return result
 
 
+def _auto_pipeline_chunk(n: int) -> int:
+    """Sub-batch size for scan_batch's intra-batch pipelining (0 = off,
+    run the four phases once over the whole batch). Splitting one call
+    into pipeline_chunk-sized sub-batches driven through scan_stream
+    overlaps each sub-batch's host work (decode + upload + quad fit) with
+    the previous one's device work — the serial serve path's phases are
+    otherwise strictly sequential. Results are identical per image (the
+    post-warp program is vmapped per image; sub-batching only regroups
+    dispatches). OFF until the pipescale battery section measures the
+    win on hardware (measured-winners discipline, CLAUDE.md)."""
+    del n
+    return 0
+
+
 def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
-               mesh=None, fallback_common_shape: bool = False) -> list:
+               mesh=None, fallback_common_shape: bool = False,
+               pipeline_chunk: Optional[int] = None) -> list:
     """Batched serving path: localize each document on host (cheap,
     per-image), stack the warped pages, and run the fused post-warp
     program per SHAPE GROUP — DP-sharded over a device mesh when one is
@@ -811,7 +839,25 @@ def scan_batch(inputs, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
     Implementation: four serving phases (load/localize-dispatch →
     quad-fit/warp → post-warp dispatch → fetch) shared with scan_stream,
     which reorders them across batches to overlap host and device work.
+
+    pipeline_chunk: when a positive value smaller than len(inputs) is
+    given (or resolved by _auto_pipeline_chunk for None), the call is
+    split into that many images per sub-batch and driven through
+    scan_stream's cross-batch scheduler — host phases of sub-batch i+1
+    overlap device work of sub-batch i WITHIN this one call (the serial
+    path otherwise runs its phases strictly back-to-back; VERDICT r4
+    item 1b). Per-image results are identical either way.
     """
+    n = len(inputs)
+    k = _auto_pipeline_chunk(n) if pipeline_chunk is None \
+        else int(pipeline_chunk)
+    if 0 < k < n:
+        subs = [inputs[i:i + k] for i in range(0, n, k)]
+        out: list = []
+        for res in scan_stream(iter(subs), config, mesh=mesh,
+                               fallback_common_shape=fallback_common_shape):
+            out.extend(res)
+        return out
     state = _scan_load_localize(inputs, config)
     _scan_quad_fit(state, config, fallback_common_shape)
     _scan_postwarp_dispatch(state, config, mesh)
@@ -1050,6 +1096,7 @@ def scan_stream(batches, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
         from concurrent.futures import ThreadPoolExecutor
         ex = ThreadPoolExecutor(max_workers=1,
                                 thread_name_prefix="scan_stream_load")
+    pending = None
     try:
         it = iter(batches)
 
@@ -1081,4 +1128,11 @@ def scan_stream(batches, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
             yield _scan_fetch(inflight.popleft())
     finally:
         if ex is not None:
-            ex.shutdown(wait=False)
+            # cancel the queued prefetch if it has not started; a RUNNING
+            # phase-1 (decode/upload/localize dispatch) cannot be cancelled
+            # mid-call, so an abandoned stream may still finish one
+            # background phase-1 — cancel_futures stops anything queued
+            # behind it from starting (ADVICE r4)
+            if pending is not None and not isinstance(pending, dict):
+                pending.cancel()
+            ex.shutdown(wait=False, cancel_futures=True)
