@@ -337,15 +337,22 @@ def _make_hough_kernel(n_hi: int, nbins: int,
         else:
             hi = r // lo_bins
             lo = r % lo_bins
-        cmp_dtype = jnp.bfloat16 if cmp_bf16 else jnp.int32
         if cmp_bf16:
+            # Mosaic's tpu.iota is integer-only: build the iota in i32 and
+            # cast — the cast is loop-invariant (constant operand), so it
+            # hoists out of the chunk loop; only the hi/lo casts are per
+            # chunk. Exactness: see the cmp_bf16 note in the docstring.
             hi = hi.astype(jnp.bfloat16)
             lo = lo.astype(jnp.bfloat16)
-        ohT_hi = (hi == jax.lax.broadcasted_iota(cmp_dtype, (n_hi, chunk), 0)
-                  ).astype(mxu_dtype)
-        ohT_lo = (lo == jax.lax.broadcasted_iota(cmp_dtype, (lo_bins, chunk),
-                                                 0)
-                  ).astype(mxu_dtype)
+            iota_hi = jax.lax.broadcasted_iota(
+                jnp.int32, (n_hi, chunk), 0).astype(jnp.bfloat16)
+            iota_lo = jax.lax.broadcasted_iota(
+                jnp.int32, (lo_bins, chunk), 0).astype(jnp.bfloat16)
+        else:
+            iota_hi = jax.lax.broadcasted_iota(jnp.int32, (n_hi, chunk), 0)
+            iota_lo = jax.lax.broadcasted_iota(jnp.int32, (lo_bins, chunk), 0)
+        ohT_hi = (hi == iota_hi).astype(mxu_dtype)
+        ohT_lo = (lo == iota_lo).astype(mxu_dtype)
         return ohT_hi, ohT_lo
 
     def make_accumulate_theta(pipelined: bool):
