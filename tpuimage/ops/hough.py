@@ -256,13 +256,13 @@ def theta_windows(h: int, w: int, c_mid: int, rho_base: int, rho_bins: int,
 @functools.partial(jax.jit, static_argnames=("rho", "theta_bins", "max_edges",
                                               "impl", "return_overflow",
                                               "theta_pack", "unroll",
-                                              "vote_lo"))
+                                              "vote_lo", "schedule"))
 def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
                       theta_bins: int = 180,
                       max_edges: int = 0, impl: str = "auto",
                       return_overflow: bool = False,
                       theta_pack: int = 1, unroll: int = 0,
-                      vote_lo: int = 0):
+                      vote_lo: int = 0, schedule: str = "auto"):
     """(numrho, numtheta) vote accumulator, same binning as cv2.HoughLines
     with theta = pi/theta_bins: r = round((x cos t + y sin t)/rho) + (nr-1)/2.
 
@@ -280,18 +280,28 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
     "xla" / "pallas" force a path (the Pallas kernel runs interpreted off
     TPU; tests assert the two produce identical counts).
 
-    theta_pack / unroll / vote_lo tune the Pallas vote kernel's schedule
-    (thetas packed per MXU tile pass — on BOTH the grid and the
-    theta-inner schedule; chunks per fori body; the hi/lo radix of the
-    one-hot factorization, vote_lo=32 admits theta_pack=4 on small
-    images — see hough_votes_pallas); identical counts on every setting,
-    ignored on the XLA path. Defaults are the r4-battery-measured winners
-    (real v5e, A4 batch 8): ``unroll=0`` auto-resolves to 2 on the
-    rows=128 grid schedule (4.24 ms vs 4.81 serial — Mosaic overlaps
-    chunk j+1's VPU one-hot build with chunk j's MXU dot) and 1
+    theta_pack / unroll / vote_lo / schedule tune the Pallas vote
+    kernel's schedule (thetas packed per MXU tile pass — on BOTH the
+    grid and the theta-inner schedule; chunks per fori body; the hi/lo
+    radix of the one-hot factorization, vote_lo=32 admits theta_pack=4
+    on small images; body ordering — see hough_votes_pallas); identical
+    counts on every setting, ignored on the XLA path. Defaults are the
+    r5-battery-measured winners (real v5e, A4 batch 8):
+    ``schedule="auto"`` resolves to "buildahead" with unroll=4 on the
+    rows=128 grid path (4.08-4.35 ms vs 4.40-4.59 for r4's unroll=2 and
+    4.77 serial — all U one-hot builds of a body issue before its U
+    dots, and even/odd dots land in separate accumulator halves so the
+    acc read-modify-write never chains consecutive dots) and "serial"
     elsewhere; ``theta_pack`` stays 1 (pack2 measured 7.0-8.1 ms — the
     kernel is MAC/VPU-bound, not tile-pass-bound, so packing only adds
-    one-hot width). Hardware parity for both: battery vote section.
+    one-hot width). Losing r5 experiments, for the record: balanced
+    radix lo=40/32 (6.45-6.83 ms — non-pow2 tiles cost more than the
+    narrower one-hot saves), int8 MXU (6.23 — v5e Mosaic doesn't reach
+    the 2x int8 rate on this shape), and bf16 iota compares (the v5e
+    VPU has NO bf16 vector compare: Mosaic fails with "Target does not
+    support this comparison", so cmp_bf16 stays an option for future
+    targets only). Hardware parity: battery votex section +
+    /tmp/r5_hw/votex_bf16.log (buildahead u4 == prod counts, True).
     """
     h, w = edges.shape
     numrho = int(round(((w + h) * 2 + 1) / rho))
@@ -331,9 +341,19 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
                                or theta_pack * lo > 128
                                or theta_bins % theta_pack):
             theta_pack = 1  # page too tall for packed hi/lo rows: fall back
+        if schedule == "auto":
+            # measured winner (r5 battery) — see docstring. buildahead
+            # exists on the grid path only (rows == 128 here implies the
+            # grid schedule: kk_est > _THETA_INNER_MAX_KB).
+            schedule = ("buildahead"
+                        if (rows == 128 and theta_pack == 1 and unroll == 0)
+                        else "serial")
         if unroll == 0:
-            # auto: measured winner (r4 battery) — see docstring
-            unroll = 2 if (rows == 128 and theta_pack == 1) else 1
+            if schedule != "serial":
+                unroll = 4       # r5 winner: buildahead u4
+            else:
+                # r4 winner on the serial schedule
+                unroll = 2 if (rows == 128 and theta_pack == 1) else 1
         if theta_pack > 1 and rows != 128:
             unroll = 1  # the inner-pack kernel is serial-only
         acc = hough_votes_pallas(xs_t, ys_t, counts, numrho, theta_bins,
@@ -341,7 +361,7 @@ def hough_accumulator(edges: jnp.ndarray, rho: float = 1.0,
                                  rho_bins=rho_bins, rows=rows,
                                  lo_bins=lo, theta_wins=win0,
                                  win_hi=span, theta_pack=theta_pack,
-                                 unroll=unroll)
+                                 unroll=unroll, schedule=schedule)
         return (acc, overflow) if return_overflow else acc
 
     thetas = np.arange(theta_bins) * (np.pi / theta_bins)

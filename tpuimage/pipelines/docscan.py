@@ -1085,17 +1085,25 @@ def scan_stream(batches, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
     the main thread does the current batch's host quad fit and result
     parsing — the upload is the serve path's largest serial cost
     (~20 ms/img of tunnel transfer) and PIL/numpy/ctypes all release the
-    GIL, so the two genuinely overlap. Results are identical (phases of
-    different batches touch disjoint state; JAX dispatch is thread-safe).
+    GIL, so the two genuinely overlap. A second worker symmetrically
+    fetches+parses RESULTS (phase 4: ~12 ms/img of tunnel download plus
+    host bit-unpacking — the largest main-thread cost after quad fit)
+    one batch behind the main thread, so in steady state the main thread
+    does only quad fits and dispatches. Results are identical (phases of
+    different batches touch disjoint state; JAX dispatch and device->host
+    transfers are thread-safe) and still yield in input order.
     """
     from collections import deque
     ready = None          # quad fit done, post-warp not yet dispatched
     inflight = deque()    # post-warp dispatched, results not fetched
-    ex = None
+    fetches = deque()     # fetch futures (or eager results), input order
+    ex = fex = None
     if prefetch:
         from concurrent.futures import ThreadPoolExecutor
         ex = ThreadPoolExecutor(max_workers=1,
                                 thread_name_prefix="scan_stream_load")
+        fex = ThreadPoolExecutor(max_workers=1,
+                                 thread_name_prefix="scan_stream_fetch")
     pending = None
     try:
         it = iter(batches)
@@ -1110,6 +1118,13 @@ def scan_stream(batches, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
                 return _scan_load_localize(inputs, config)
             return ex.submit(_scan_load_localize, inputs, config)
 
+        def _start_fetch(st):
+            return _scan_fetch(st) if fex is None else fex.submit(
+                _scan_fetch, st)
+
+        def _emit(f):
+            return f if fex is None else f.result()
+
         pending = _next_state()
         while pending is not None:
             state = pending.result() if ex is not None else pending
@@ -1117,15 +1132,22 @@ def scan_stream(batches, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
             if ready is not None:
                 _scan_postwarp_dispatch(ready, config, mesh)
                 inflight.append(ready)
-            _scan_quad_fit(state, config, fallback_common_shape)
             while len(inflight) > 1:
-                yield _scan_fetch(inflight.popleft())
+                # hand (i-2)'s fetch to the worker BEFORE the quad fit so
+                # the download rides under the host geometry work; emit a
+                # batch only once a newer fetch is queued behind it
+                fetches.append(_start_fetch(inflight.popleft()))
+            _scan_quad_fit(state, config, fallback_common_shape)
+            while len(fetches) > 1:
+                yield _emit(fetches.popleft())
             ready = state
         if ready is not None:
             _scan_postwarp_dispatch(ready, config, mesh)
             inflight.append(ready)
         while inflight:
-            yield _scan_fetch(inflight.popleft())
+            fetches.append(_start_fetch(inflight.popleft()))
+        while fetches:
+            yield _emit(fetches.popleft())
     finally:
         if ex is not None:
             # cancel the queued prefetch if it has not started; a RUNNING
@@ -1136,3 +1158,7 @@ def scan_stream(batches, config: DocScanConfig = GUI_DOCUMENT_CONFIG,
             if pending is not None and not isinstance(pending, dict):
                 pending.cancel()
             ex.shutdown(wait=False, cancel_futures=True)
+        if fex is not None:
+            for f in fetches:
+                f.cancel()
+            fex.shutdown(wait=False, cancel_futures=True)
