@@ -234,8 +234,14 @@ def bench_e2e_serve():
         samples.append(round((t4 - t0) / n * 1e3, 1))
         if t4 - t0 < best:
             best = t4 - t0
-            phases = {"load_localize": round((t1 - t0) * 1e3, 1),
-                      "quad_fit_warp": round((t2 - t1) * 1e3, 1),
+            # NOTE: buckets are DISPATCH boundaries, not device-sync'd
+            # costs — the async upload + localize program complete inside
+            # the quad_fit_warp bucket (its first localize-buffer fetch
+            # blocks on them). Sync'd per-phase attribution lives in
+            # benchmarks/e2e_docscan.py --profile.
+            phases = {"load_localize_dispatch": round((t1 - t0) * 1e3, 1),
+                      "quad_fit_warp_incl_upload_sync":
+                          round((t2 - t1) * 1e3, 1),
                       "postwarp_dispatch": round((t3 - t2) * 1e3, 1),
                       "fetch": round((t4 - t3) * 1e3, 1)}
     tpu_ms = best / n * 1e3

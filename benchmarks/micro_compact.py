@@ -1,7 +1,11 @@
 """Internal breakdown of band_compact_coords on the device: key build +
 sort vs slicing/counts vs coordinate computation/transpose/pad.
 
-Usage: python benchmarks/micro_compact.py [batch]
+Usage: python benchmarks/micro_compact.py [batch]          # flat breakdown
+       python benchmarks/micro_compact.py sweep [batch] [density]
+         # impl / (group, cap) schedule sweep of the FULL compaction:
+         # stage-2 merge width is n_groups*cap, so cap 48/32 shrink the
+         # bitonic network 25/50% below the production (128, 64)
 """
 from __future__ import annotations
 
@@ -15,7 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+BATCH = (int(sys.argv[1])
+         if len(sys.argv) > 1 and sys.argv[1].isdigit() else 8)
 REPS = 10
 H, W = 1200, 849
 
@@ -103,5 +108,98 @@ def main():
         print(f"{stage:8s} {(best - rtt)/REPS*1e3:7.2f} ms")
 
 
+def sweep():
+    """Chained-rep timing of the full band_compact_coords under vmap at
+    the fused program's shape, across impl and (group, cap) schedules.
+    All three outputs feed the token (no dead-coding) and every batch
+    element is perturbed per rep (no hoisting) — BASELINE.md pitfalls."""
+    from tpuimage.ops import hough as hough_mod
+
+    batch_n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    density = float(sys.argv[3]) if len(sys.argv) > 3 else 0.05
+    rng = np.random.default_rng(0)
+    edges = (rng.random((batch_n, H, W)) < density).astype(np.uint8) * 255
+    batch = jnp.asarray(edges)
+    k = min(max(131072, (H * W * 3) // 16), 524288)
+
+    triv = jax.jit(lambda b: b.astype(jnp.int32)[0, 0, 0])
+    int(np.asarray(triv(batch)))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        int(np.asarray(triv(batch)))
+    rtt = (time.perf_counter() - t0) / 5
+    print(f"rtt {rtt*1e3:.2f} ms   batch={batch_n} density={density} k={k}")
+
+    # stage-1-only probe (local int8 sort + front slice, no merge/coords):
+    # attributes the twostage total between its two sorts
+    from tpuimage.ops.hough import _HOUGH_BANDS as BANDS
+
+    def stage1_only(eimg, group=128, cap=64):
+        n = H * W
+        n_over_b = -(-n // BANDS)
+        n_groups = -(-n_over_b // group)
+        e = (eimg.reshape(-1) > 0)
+        m = jnp.pad(e, (0, n_over_b * BANDS - n)).reshape(n_over_b, BANDS).T
+        mg = jnp.pad(m, ((0, 0), (0, n_groups * group - n_over_b))
+                     ).reshape(BANDS, n_groups, group)
+        lidx = jnp.arange(group, dtype=jnp.int32).astype(jnp.int8)
+        lkey = jnp.where(mg, jnp.int8(-128) | lidx, lidx)
+        ls = lax.sort(lkey.reshape(BANDS * n_groups, group),
+                      dimension=1, is_stable=False)
+        front = ls.reshape(BANDS, n_groups, group)[:, :, :cap]
+        return front.astype(jnp.int32).sum()
+
+    @jax.jit
+    def f1(b):
+        def body(i, carry):
+            b_, acc = carry
+            tok = jax.vmap(stage1_only)(b_).sum()
+            return (b_.at[:, 0, 0].set((tok % 251).astype(jnp.uint8)),
+                    acc + tok)
+        return lax.fori_loop(0, REPS, body, (b, jnp.int32(0)))[1]
+    int(np.asarray(f1(batch)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(np.asarray(f1(batch)))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{'twostage stage1 only':26s} {(best - rtt)/REPS*1e3:7.2f} ms")
+
+    configs = [
+        ("flat", dict(impl="flat")),
+        ("rank", dict(impl="rank")),
+        ("twostage g128 c64 (prod)", dict(impl="twostage")),
+        ("twostage g128 c48", dict(impl="twostage", cap=48)),
+        ("twostage g128 c32", dict(impl="twostage", cap=32)),
+        ("twostage g64  c48", dict(impl="twostage", group=64, cap=48)),
+        ("twostage g64  c32", dict(impl="twostage", group=64, cap=32)),
+    ]
+    for name, kw in configs:
+        def one(eimg, kw=kw):
+            xs_t, ys_t, counts = hough_mod.band_compact_coords(eimg, k, **kw)
+            return (xs_t.astype(jnp.int32).sum()
+                    + ys_t.astype(jnp.int32).sum() + counts.sum())
+
+        @jax.jit
+        def f(b, one=one):
+            def body(i, carry):
+                b_, acc = carry
+                tok = jax.vmap(one)(b_).sum()
+                return (b_.at[:, 0, 0].set((tok % 251).astype(jnp.uint8)),
+                        acc + tok)
+            return lax.fori_loop(0, REPS, body, (b, jnp.int32(0)))[1]
+
+        int(np.asarray(f(batch)))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(np.asarray(f(batch)))
+            best = min(best, time.perf_counter() - t0)
+        print(f"{name:26s} {(best - rtt)/REPS*1e3:7.2f} ms")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep()
+    else:
+        main()

@@ -6,6 +6,8 @@ and ops/lut.py dispatched on jax.default_backend() and were never executed
 by the CPU-pinned suite. The impl= arguments added in round 2 make both
 branches testable everywhere.
 """
+import math
+
 import numpy as np
 import cv2
 import pytest
@@ -278,19 +280,38 @@ class TestHoughPallas:
     @pytest.mark.parametrize("shape,density", [((600, 400), 0.05),
                                                ((600, 400), 0.2),
                                                ((853, 640), 0.13)])
-    def test_twostage_compaction_equals_flat(self, rng, shape, density):
+    @pytest.mark.parametrize("group,cap", [(128, 64), (128, 48), (128, 32),
+                                           (64, 48)])
+    def test_twostage_compaction_equals_flat(self, rng, shape, density,
+                                             group, cap):
         """The two-stage (int8 local sort + capped int16 merge) compaction
         must produce the identical coordinate planes, counts, and overflow
-        as the flat full-width sort whenever no group exceeds its cap."""
+        as the flat full-width sort whenever no group exceeds its cap —
+        at every (group, cap) schedule (the merge-width knob is a pure
+        schedule choice below the density ceiling)."""
         edges = (rng.random(shape) < density).astype(np.uint8) * 255
+        # 5-sigma binomial margin: with ~4k groups per image, a 4-sigma
+        # ceiling still overflows one group a few percent of the time
+        mean = density * group
+        if mean + 5 * math.sqrt(mean * (1 - density)) > cap:
+            pytest.skip("density too close to this cap's ceiling")
         k = min(max(131072, (shape[0] * shape[1] * 3) // 16), 524288)
         a = hough_mod.band_compact_coords(jnp.asarray(edges), k,
                                           with_overflow=True, impl="flat")
         b = hough_mod.band_compact_coords(jnp.asarray(edges), k,
-                                          with_overflow=True, impl="twostage")
+                                          with_overflow=True, impl="twostage",
+                                          group=group, cap=cap)
         for x, y in zip(a[:3], b[:3]):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
         assert not bool(a[3]) and not bool(b[3])
+
+    def test_twostage_bad_group_cap_rejected(self):
+        edges = np.zeros((600, 512), np.uint8)
+        for group, cap in ((96, 32), (256, 64), (128, 0), (32, 64)):
+            with pytest.raises(ValueError, match="group"):
+                hough_mod.band_compact_coords(jnp.asarray(edges), 524288,
+                                              impl="twostage",
+                                              group=group, cap=cap)
 
     @pytest.mark.parametrize("shape,density", [((600, 400), 0.05),
                                                ((600, 400), 0.2),

@@ -45,7 +45,8 @@ _GROUP_CAP = 64      # group-front slots carried into the merge sort
 
 
 def band_compact_coords(edges: jnp.ndarray, max_edges: int,
-                        with_overflow: bool = False, impl: str = "auto"):
+                        with_overflow: bool = False, impl: str = "auto",
+                        group: int = _GROUP, cap: int = _GROUP_CAP):
     """Banded edge compaction for the Pallas vote kernel: band b holds the
     edges with flat_idx % 128 == b, packed to the front.
 
@@ -76,6 +77,14 @@ def band_compact_coords(edges: jnp.ndarray, max_edges: int,
     Over-budget bands drop their largest-index edges, matching the old
     top_k tie order.
 
+    ``group``/``cap`` tune the two-stage path's local-sort width and the
+    group-front slots carried into the merge (the merge sort's width is
+    ``n_groups * cap``, so a smaller cap directly shrinks the stage-2
+    bitonic network — at the cost of a lower per-group density ceiling
+    before edges drop with the overflow flag). Defaults are the measured
+    production values; both must satisfy ``1 <= cap <= group <= 128``
+    (the int8 local key holds bit 7 = edge flag | 7-bit local index).
+
     Returns (xs_t, ys_t, counts): (kb, 128) float32 transposed coordinate
     planes (invalid slots poisoned — see hough_votes_pallas) and per-band
     edge counts. Coordinates are precomputed here so the vote kernel's
@@ -89,23 +98,28 @@ def band_compact_coords(edges: jnp.ndarray, max_edges: int,
     kk = min(max(1, max_edges // _HOUGH_BANDS), n_over_b)  # per-band budget
     kb = kk + (-kk) % _HOUGH_ROWS                          # row-chunk pad
     n_bits = max((n_over_b - 1).bit_length(), 1)
+    if not (1 <= cap <= group <= 128) or group & (group - 1):
+        # power-of-two group keeps the stage-2 grev bound proof below:
+        # round_up(n_over_b, group) <= 2^n_bits needs group | 2^n_bits
+        raise ValueError(f"need 1 <= cap <= group <= 128 with group a "
+                         f"power of two (got group={group}, cap={cap})")
     if impl == "auto":
         # two-stage pays off when the merge width shrinks the sort a lot
         # AND the int16 key fits (flag + 13-bit index); tiny images keep
         # the flat path (local-sort padding would dominate)
-        n_groups = -(-n_over_b // _GROUP)
+        n_groups = -(-n_over_b // group)
         impl = ("twostage"
-                if (n_bits + 1 <= 15 and n_over_b >= 4 * _GROUP
-                    and n_groups * _GROUP_CAP < n_over_b)
+                if (n_bits + 1 <= 15 and n_over_b >= 4 * group
+                    and n_groups * cap < n_over_b)
                 else "flat")
-    if impl == "twostage" and (n_bits + 1 > 15 or n_over_b < _GROUP):
+    if impl == "twostage" and (n_bits + 1 > 15 or n_over_b < group):
         # forced paths must raise, not silently corrupt (filters.py rule):
         # n_bits+1 > 15 overflows the int16 merge key's valid flag into the
         # sign bit; n_over_b < one group makes grev exceed 2^n_bits and
         # clobber the flag bit
         raise ValueError(
             f"impl='twostage' needs n_bits + 1 <= 15 and at least one full "
-            f"{_GROUP}-column group (got n_bits={n_bits}, "
+            f"{group}-column group (got n_bits={n_bits}, "
             f"n_over_b={n_over_b}); use impl='flat' or 'rank'")
     e = (edges.reshape(-1) > 0)
 
@@ -149,39 +163,40 @@ def band_compact_coords(edges: jnp.ndarray, max_edges: int,
                 ).reshape(n_over_b, _HOUGH_BANDS).T        # (128, N) bool
 
     if impl == "twostage":
-        n_groups = -(-n_over_b // _GROUP)
-        npad = n_groups * _GROUP - n_over_b
+        n_groups = -(-n_over_b // group)
+        npad = n_groups * group - n_over_b
         mg = jnp.pad(m, ((0, 0), (0, npad))).reshape(
-            _HOUGH_BANDS, n_groups, _GROUP)
+            _HOUGH_BANDS, n_groups, group)
         # stage 1: int8 local sort. The edge flag in bit 7 makes edge keys
         # NEGATIVE (int8), so ascending sort puts edges at the group FRONT,
         # ordered by ascending local index (key = 0x80 | lci). The sort
         # MUST run on a 2-D operand: the same keys shaped (B, G, 128) sort
         # 18x slower on TPU (0.99 vs 17.9 ms at batch 8 — XLA's sort
         # lowering degrades with extra batch dims).
-        lidx = jnp.arange(_GROUP, dtype=jnp.int32).astype(jnp.int8)
+        lidx = jnp.arange(group, dtype=jnp.int32).astype(jnp.int8)
         lkey = jnp.where(mg, jnp.int8(-128) | lidx, lidx)
-        ls = lax.sort(lkey.reshape(_HOUGH_BANDS * n_groups, _GROUP),
+        ls = lax.sort(lkey.reshape(_HOUGH_BANDS * n_groups, group),
                       dimension=1, is_stable=False)
         front = ls.reshape(_HOUGH_BANDS, n_groups,
-                           _GROUP)[:, :, :_GROUP_CAP]       # (B, G, CAP)
+                           group)[:, :, :cap]               # (B, G, CAP)
         lvalid = (front < 0).astype(jnp.int32)
         lci = front.astype(jnp.int32) & 127                 # local idx
         # stage 2: int16 merge over the group fronts with global keys.
-        # max grev = round_up(n_over_b, 128) - 1 <= 2^n_bits - 1 because
-        # 2^n_bits >= n_over_b and is divisible by 128 here (n_bits >= 9).
-        gbase = (jnp.arange(n_groups, dtype=jnp.int32) * _GROUP)[None, :, None]
+        # max grev = round_up(n_over_b, group) - 1 <= 2^n_bits - 1 because
+        # 2^n_bits >= n_over_b and is divisible by group (a power of two
+        # <= 128 <= 2^n_bits here given n_over_b >= group).
+        gbase = (jnp.arange(n_groups, dtype=jnp.int32) * group)[None, :, None]
         gci = gbase + lci                                   # global in-band idx
-        grev = (n_groups * _GROUP - 1) - gci
+        grev = (n_groups * group - 1) - gci
         gkey = ((lvalid << n_bits) | grev).astype(jnp.int16)
-        gs = lax.sort(gkey.reshape(_HOUGH_BANDS, n_groups * _GROUP_CAP),
+        gs = lax.sort(gkey.reshape(_HOUGH_BANDS, n_groups * cap),
                       dimension=1, is_stable=False)
-        kk2 = min(kk, n_groups * _GROUP_CAP)
+        kk2 = min(kk, n_groups * cap)
         top = gs[:, gs.shape[1] - kk2:][:, ::-1].astype(jnp.int32)
         validb = (top >> n_bits) & 1
         counts = validb.sum(axis=1)
         flag_mask = (1 << n_bits) - 1
-        ci = (n_groups * _GROUP - 1) - (top & flag_mask)
+        ci = (n_groups * group - 1) - (top & flag_mask)
         if kk2 < kk:
             pad_cols = kk - kk2
             validb = jnp.pad(validb, ((0, 0), (0, pad_cols)))
@@ -189,7 +204,7 @@ def band_compact_coords(edges: jnp.ndarray, max_edges: int,
         # overflow: any group denser than the cap, or any band over budget
         gcounts = mg.astype(jnp.int32).sum(axis=2)          # (B, G)
         true_counts = gcounts.sum(axis=1)
-        overflow = (jnp.any(gcounts > _GROUP_CAP)
+        overflow = (jnp.any(gcounts > cap)
                     | jnp.any(true_counts > kk))
     else:
         flag_mask = (1 << n_bits) - 1
